@@ -1,0 +1,75 @@
+"""CLI — the engine's `run-all` (Spark analog of the reference's
+``python -m cdm_ontologies run-all``, cdm_ontologies/cli.py:79-178).
+
+Designed to be launched with ``spark-submit --py-files`` on a real
+cluster (north rule); locally it builds its own local[N] session.
+
+    python -m kbase_cdm_ontologies_spark run-all \
+        --out /tmp/kg_out --pages 2000 --seed 42 [--resume]
+
+Stages are checkpointed; a rerun with --resume skips stages whose
+manifest (code hash + input fingerprint) still matches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kbase_cdm_ontologies_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run-all", help="run the full KG-construction pipeline")
+    run.add_argument("--out", required=True, help="output/checkpoint directory")
+    run.add_argument("--pages", type=int, default=2000, help="synthetic corpus size")
+    run.add_argument("--seed", type=int, default=42)
+    run.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    run.add_argument("--resume", action="store_true",
+                     help="keep existing checkpoints (default: start clean)")
+    args = ap.parse_args(argv)
+
+    from .plans.pipeline import run_pipeline
+    from .session import get_spark
+    from .sources.corpus import CorpusSpec, corpus_to_spark, generate_corpus
+
+    if not args.resume:
+        shutil.rmtree(args.out, ignore_errors=True)
+
+    t0 = time.time()
+    spark = get_spark(app_name="kg-run-all", master=args.master)
+    corpus = generate_corpus(CorpusSpec(seed=args.seed, n_pages=args.pages))
+    pages, stmts, _ = corpus_to_spark(spark, corpus)
+    out = run_pipeline(
+        spark, pages, stmts,
+        checkpoint_dir=args.out,
+        corpus_fingerprint=f"seed={args.seed};pages={args.pages}",
+    )
+    ck = out["checkpoints"]
+    n_edges = out["edges"].count()
+    n_nodes = out["nodes"].count()
+    wall = time.time() - t0
+
+    got = {(r["subject"], r["predicate"], r["object"]) for r in out["edges"].collect()}
+    want = corpus.expected_edges
+    tp = len(got & want)
+    report = {
+        "pages": args.pages,
+        "edges": n_edges,
+        "nodes": n_nodes,
+        "precision": round(tp / len(got), 4) if got else 0.0,
+        "recall": round(tp / len(want), 4) if want else 0.0,
+        "stages_run": ck.stages_run,
+        "stages_skipped": ck.stages_skipped,
+        "docs_per_sec": round(args.pages / wall, 2),
+        "wall_sec": round(wall, 2),
+    }
+    print(json.dumps(report))
+    return 0 if report["precision"] >= 0.95 and report["recall"] >= 0.95 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,136 @@
+"""M6 — canonicalization: connected components over equivalence edges
+via the large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public algorithm).
+
+Reference semantics being reproduced: relation-graph's
+``--equivalence-as-subclass true`` + merged-graph identity collapse
+(SURVEY.md §2.8): every ``owl:equivalentClass`` component maps to one
+canonical id = lexicographic min member (matching the plain-Python
+union-find oracle in sources/corpus.py).
+
+Per round (all built-in ops; converges in O(log n) rounds):
+
+  large-star: for each u over the symmetrized edge set,
+              m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+  small-star: orient edges u > v; m = min(N(u));
+              emit (u, m) and (v, m) for v ∈ N(u), v ≠ m
+
+Scale properties:
+- the min-per-node aggregations partial-aggregate map-side (hash
+  aggregate), so a hub node (skew fixture: 10k-edge hub; production
+  analog NCBITaxon-scale terms) never funnels raw edges to one task.
+- every round ends in dropDuplicates + localCheckpoint() to truncate
+  lineage — without it, round k replays rounds 1..k-1.
+- convergence check is an exceptAll on the oriented star sets (cheap:
+  both sides hash-partitioned by the same keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = _symmetrize(e)
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    o = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        o.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfe = mins.select("u", F.col("m").alias("v"))
+    return nbr.unionByName(selfe).dropDuplicates()
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 30
+) -> DataFrame:
+    """pairs(src, dst) undirected -> (id, canonical) for every node
+    appearing in pairs; canonical = min id of the component.
+
+    max_rounds=30 bounds the loop (log2 of any practical component
+    count); a non-converged exit raises — the divergence alarm the
+    build plan calls for (SURVEY.md §7.4)."""
+    nodes = (
+        pairs.select(F.col(src).alias("u"))
+        .unionByName(pairs.select(F.col(dst).alias("u")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        e = e2
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+    stars = e.groupBy("u").agg(F.min("v").alias("canonical"))
+    roots = nodes.join(stars, "u", "left_anti").select(
+        "u", F.col("u").alias("canonical")
+    )
+    return stars.unionByName(roots).withColumnRenamed("u", "id")
+
+
+def canonical_map(statements: DataFrame) -> DataFrame:
+    """owl:equivalentClass statements -> (id, canonical), merged ids only."""
+    eq = statements.where(
+        (F.col("predicate") == "owl:equivalentClass") & F.col("object").isNotNull()
+    ).select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return connected_components(eq)
+
+
+def apply_canonical(df: DataFrame, cmap: DataFrame, cols: list[str]) -> DataFrame:
+    """Rewrite id columns through the canonical map (identity when a
+    node never merged). cmap is dimension-sized -> broadcast joins; the
+    fact side is never shuffled."""
+    out = df
+    for c in cols:
+        out = (
+            out.join(
+                F.broadcast(
+                    cmap.select(F.col("id").alias(c), F.col("canonical").alias(f"_c_{c}"))
+                ),
+                c,
+                "left",
+            )
+            .withColumn(c, F.coalesce(F.col(f"_c_{c}"), F.col(c)))
+            .drop(f"_c_{c}")
+        )
+    return out

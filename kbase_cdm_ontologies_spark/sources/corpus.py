@@ -1,0 +1,413 @@
+"""Deterministic synthetic corpus + golden oracle (FIXTURES.md).
+
+The reference's correctness discipline is committed golden outputs
+(outputs_test/: statements 162,810 rows, entailed_edge 430,947 rows —
+reference README.md:142-144). This module is the engine's analog: a
+seeded generator that emits
+
+  * ``pages(url, warc_ts, html, text, lang)``  — input_hint schema
+  * ``statements(stanza, subject, predicate, object, value, datatype,
+    language, graph)`` — shape of semsql statements
+    (outputs_test/parquet_files/statements.parquet)
+  * plain-Python **oracle** computations: expected mentions, raw
+    triples, linked triples, canonical map, closed edge set — computed
+    with hand-rolled BFS/union-find, fully independent of Spark, so the
+    pipeline's P/R >= 0.95 gate measures against a second implementation.
+
+Everything is driven by one RNG seed; no wall clock, no network.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+from ..functions.text_rules import (
+    PREDICATE_CURIE,
+    extract_svo,
+    extract_text,
+    normalize_surface,
+)
+
+ONTOLOGIES = ("AAA", "BBB", "CCC")
+N_TERMS_PER_ONTO = 24
+
+_ADJ = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "kappa", "lambda", "sigma", "theta", "proximal", "distal",
+]
+_NOUN = [
+    "kinase", "membrane", "receptor", "pathway", "enzyme", "ligand",
+    "channel", "domain", "complex", "vesicle", "organelle", "filament",
+]
+_NOISE = [
+    "study", "result", "sample", "figure", "method", "analysis",
+    "we", "observed", "measured", "robust", "signal", "control",
+]
+
+AMBIGUOUS_ALIAS = "omega factor"  # exact synonym of two terms (linking fixture)
+SVO_VERBS = list(PREDICATE_CURIE)
+
+
+def term_id(onto: str, i: int) -> str:
+    return f"{onto}:{i:07d}"
+
+
+@dataclass
+class CorpusSpec:
+    seed: int = 42
+    n_pages: int = 500
+    n_terms: int = N_TERMS_PER_ONTO
+
+
+@dataclass
+class Corpus:
+    spec: CorpusSpec
+    statements: list[dict] = field(default_factory=list)
+    alias_rows: list[dict] = field(default_factory=list)  # term_id, alias, alias_norm, kind, source_onto
+    pages: list[dict] = field(default_factory=list)  # url, warc_ts, html, text, lang
+    # oracle artifacts
+    subclass_edges: list[tuple[str, str]] = field(default_factory=list)
+    equiv_pairs: list[tuple[str, str]] = field(default_factory=list)
+    restrictions: list[tuple[str, str, str]] = field(default_factory=list)  # (a, prop, c)
+    expected_canon: dict[str, str] = field(default_factory=dict)
+    expected_mentions: set[tuple[str, str]] = field(default_factory=set)  # (url, term_id) unambiguous only
+    expected_linked: set[tuple[str, str, str, str]] = field(default_factory=set)  # (url, s, p, o)
+    expected_edges: set[tuple[str, str, str]] = field(default_factory=set)
+
+
+# ---------------------------------------------------------------------------
+# ontology fixture
+# ---------------------------------------------------------------------------
+
+def _build_ontology(c: Corpus, rng: random.Random) -> dict[str, list[str]]:
+    """Statements + alias dict; returns term_id -> [aliases] map."""
+    combos = [f"{a} {n}" for a in _ADJ for n in _NOUN]
+    rng.shuffle(combos)
+    pool = iter(combos)
+
+    aliases: dict[str, list[str]] = {}
+    nterm = c.spec.n_terms
+    syn_kinds = ["exact", "related", "broad"]
+    oio = {
+        "exact": "oio:hasExactSynonym",
+        "related": "oio:hasRelatedSynonym",
+        "broad": "oio:hasBroadSynonym",
+    }
+
+    for onto in ONTOLOGIES:
+        for i in range(nterm):
+            t = term_id(onto, i)
+            label = next(pool)
+            al = [("label", label)]
+            # every 2nd term gets one synonym; kind rotates
+            if i % 2 == 0:
+                al.append((syn_kinds[i % 3], next(pool)))
+            aliases[t] = [a for _, a in al]
+            c.statements.append(_stmt(t, t, "rdf:type", obj="owl:Class"))
+            c.statements.append(_stmt(t, t, "rdfs:isDefinedBy", obj=f"obo:{onto.lower()}.owl"))
+            for kind, a in al:
+                pred = "rdfs:label" if kind == "label" else oio[kind]
+                c.statements.append(_stmt(t, t, pred, value=a, language="en"))
+                c.alias_rows.append(
+                    dict(term_id=t, alias=a, alias_norm=normalize_surface(a),
+                         kind=kind, source_onto=onto)
+                )
+
+    # ambiguous alias shared by AAA:10 and BBB:10 (entity-linking fixture)
+    for onto in ("AAA", "BBB"):
+        t = term_id(onto, 10)
+        c.statements.append(_stmt(t, t, "oio:hasExactSynonym", value=AMBIGUOUS_ALIAS, language="en"))
+        c.alias_rows.append(
+            dict(term_id=t, alias=AMBIGUOUS_ALIAS,
+                 alias_norm=normalize_surface(AMBIGUOUS_ALIAS),
+                 kind="exact", source_onto=onto)
+        )
+        aliases[t].append(AMBIGUOUS_ALIAS)
+
+    # subclass DAG: binary-tree within each onto (term i subClassOf i//2)
+    for onto in ONTOLOGIES:
+        for i in range(1, nterm):
+            s, o = term_id(onto, i), term_id(onto, i // 2)
+            c.subclass_edges.append((s, o))
+            c.statements.append(_stmt(s, s, "rdfs:subClassOf", obj=o))
+    # cross-ontology subclass links (merged-graph fixture)
+    for s, o in [(term_id("BBB", 1), term_id("AAA", 3)), (term_id("CCC", 2), term_id("BBB", 4))]:
+        c.subclass_edges.append((s, o))
+        c.statements.append(_stmt(s, s, "rdfs:subClassOf", obj=o))
+
+    # equivalences across ontologies incl. a chain (canonicalization fixture)
+    c.equiv_pairs = [
+        (term_id("AAA", 5), term_id("BBB", 5)),
+        (term_id("BBB", 7), term_id("CCC", 7)),
+        (term_id("AAA", 11), term_id("BBB", 11)),
+        (term_id("BBB", 11), term_id("CCC", 11)),  # chain x≡y, y≡z
+    ]
+    for a, b in c.equiv_pairs:
+        c.statements.append(_stmt(a, a, "owl:equivalentClass", obj=b))
+
+    # someValuesFrom restrictions via blank nodes, as RDF reifies them
+    # (reference: 6,093 owl:someValuesFrom + 6,127 owl:onProperty rows)
+    rest_specs = [
+        (term_id("AAA", 8), "BFO:0000050", term_id("AAA", 2)),
+        (term_id("BBB", 9), "RO:0002211", term_id("BBB", 3)),
+        (term_id("CCC", 12), "BFO:0000050", term_id("CCC", 1)),
+    ]
+    for k, (a, p, cc) in enumerate(rest_specs):
+        bn = f"_:riog{k:08d}"
+        c.statements.append(_stmt(a, a, "rdfs:subClassOf", obj=bn))
+        c.statements.append(_stmt(a, bn, "owl:onProperty", obj=p))
+        c.statements.append(_stmt(a, bn, "owl:someValuesFrom", obj=cc))
+        c.restrictions.append((a, p, cc))
+
+    # owl:Nothing noise — must be excluded everywhere
+    # (reference: robot remove --term owl:Nothing, merge_ontologies.py:108-111)
+    c.statements.append(_stmt("owl:Nothing", "owl:Nothing", "rdfs:subClassOf", obj=term_id("AAA", 0)))
+    return aliases
+
+
+def _stmt(stanza, subject, predicate, obj=None, value=None, datatype=None, language=None):
+    return dict(stanza=stanza, subject=subject, predicate=predicate,
+                object=obj, value=value,
+                datatype=datatype if datatype else ("xsd:string" if value is not None and language is None else None),
+                language=language, graph=None)
+
+
+# ---------------------------------------------------------------------------
+# oracle: canonicalization + closure (hand-rolled, Spark-free)
+# ---------------------------------------------------------------------------
+
+def _union_find_canon(terms: set[str], pairs: list[tuple[str, str]]) -> dict[str, str]:
+    parent = {t: t for t in terms}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = lexicographic min of component
+    comp: dict[str, list[str]] = {}
+    for t in terms:
+        comp.setdefault(find(t), []).append(t)
+    out = {}
+    for members in comp.values():
+        c = min(members)
+        for m in members:
+            out[m] = c
+    return out
+
+
+def _closure_oracle(c: Corpus) -> set[tuple[str, str, str]]:
+    """Reference semantics (SURVEY.md §2.8 / relation-graph flags):
+    reflexive-transitive subclass closure over canonical ids,
+    equivalence-as-subclass collapsed by canonicalization,
+    someValuesFrom property entailment sub(a) x super(c),
+    owl:Nothing suppressed."""
+    canon = c.expected_canon
+    nodes = {canon[t] for t in canon if t != "owl:Nothing"}
+    sub_edges = {
+        (canon[s], canon[o])
+        for s, o in c.subclass_edges
+        if s != "owl:Nothing" and o != "owl:Nothing"
+    }
+    # adjacency up
+    up: dict[str, set[str]] = {}
+    for s, o in sub_edges:
+        up.setdefault(s, set()).add(o)
+    # reflexive-transitive superclass sets via BFS
+    supers: dict[str, set[str]] = {}
+    for n in nodes:
+        seen = {n}
+        stack = [n]
+        while stack:
+            x = stack.pop()
+            for y in up.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        supers[n] = seen
+    subs: dict[str, set[str]] = {n: set() for n in nodes}
+    for n in nodes:
+        for a in supers[n]:
+            subs[a].add(n)
+
+    edges: set[tuple[str, str, str]] = set()
+    for n in nodes:
+        for a in supers[n]:
+            edges.add((n, "rdfs:subClassOf", a))  # includes reflexive n==a
+    for a, p, cc in c.restrictions:
+        ca, ccc = canon[a], canon[cc]
+        for x in subs.get(ca, {ca}):
+            for d in supers.get(ccc, {ccc}):
+                edges.add((x, p, d))
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# pages + mention/linking oracle
+# ---------------------------------------------------------------------------
+
+def _build_pages(c: Corpus, rng: random.Random, aliases: dict[str, list[str]]) -> None:
+    alias_index: dict[str, list[str]] = {}
+    for r in c.alias_rows:
+        alias_index.setdefault(r["alias_norm"], []).append(r["term_id"])
+    unambiguous = {a: ts[0] for a, ts in alias_index.items() if len(ts) == 1}
+    term_onto = {t: t.split(":")[0] for t in aliases}
+    hot_alias = c.alias_rows[0]["alias"]  # skew fixture: appears on ~60% of pages
+    all_aliases = sorted({r["alias"] for r in c.alias_rows if r["alias"] != AMBIGUOUS_ALIAS})
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    langs = ["en"] * 9 + ["de", "es"]
+    for i in range(c.spec.n_pages):
+        url = f"https://example.org/p{i:06d}"
+        lang = langs[i % len(langs)]
+        sents: list[str] = []
+        n_sent = rng.randint(2, 6)
+        used_onto_context: str | None = None
+        for _ in range(n_sent):
+            kind = rng.random()
+            if kind < 0.35:  # mention sentence
+                a = rng.choice(all_aliases)
+                sents.append(
+                    f"The {a} {rng.choice(_NOISE)} was {rng.choice(_NOISE)} in this {rng.choice(_NOISE)}."
+                )
+                if a in unambiguous:
+                    used_onto_context = term_onto[unambiguous[a]]
+            elif kind < 0.6:  # SVO sentence
+                s_alias = rng.choice(all_aliases)
+                o_alias = rng.choice(all_aliases)
+                verb = rng.choice(SVO_VERBS)
+                sents.append(f"{s_alias.capitalize()} {verb} {o_alias}.")
+            else:  # noise
+                sents.append(" ".join(rng.choice(_NOISE) for _ in range(rng.randint(5, 10))).capitalize() + ".")
+        if rng.random() < 0.6:
+            sents.append(f"The {hot_alias} appears again here.")
+        if rng.random() < 0.1:
+            # ambiguous mention; context decides AAA vs BBB
+            ctx_onto = used_onto_context or rng.choice(["AAA", "BBB"])
+            ctx_term = term_id(ctx_onto, 2)
+            ctx_alias = aliases[ctx_term][0]
+            sents.append(f"The {ctx_alias} level tracked the {AMBIGUOUS_ALIAS} closely.")
+
+        title = f"Report {i:06d} on {rng.choice(_NOISE)}"
+        body = " ".join(sents)
+        html = (
+            "<html><head><title>" + title + "</title>"
+            "<style>body { color: #000; }</style></head>\n"
+            "<body><h1>" + title + "</h1>\n"
+            "<script>var x = 1 &amp;&amp; 2;</script>\n"
+            "<p>" + body + "</p>\n"
+            "<div>footer &copy; example</div></body></html>"
+        ).encode("utf-8")
+        text = extract_text(html)
+        c.pages.append(
+            dict(url=url, warc_ts=t0 + timedelta(seconds=i), html=html, text=text, lang=lang)
+        )
+
+
+def _link_oracle(c: Corpus) -> None:
+    """Mention + SVO-link oracle with the engine's disambiguation rule:
+    candidate score = count of unambiguous mentions on the page from the
+    candidate's source ontology; argmax, ties -> min term_id."""
+    alias_index: dict[str, list[str]] = {}
+    for r in c.alias_rows:
+        alias_index.setdefault(r["alias_norm"], []).append(r["term_id"])
+    for k in alias_index:
+        alias_index[k] = sorted(set(alias_index[k]))
+    patterns = sorted(alias_index)
+
+    import re as _re
+    pat_res = {p: _re.compile(r"(?<![a-z0-9])" + _re.escape(p) + r"(?![a-z0-9])") for p in patterns}
+
+    for page in c.pages:
+        if page["lang"] != "en":
+            continue
+        tnorm = normalize_surface(page["text"])
+        url = page["url"]
+        found = [p for p in patterns if pat_res[p].search(tnorm)]
+        onto_counts: dict[str, int] = {}
+        for p in found:
+            cands = alias_index[p]
+            if len(cands) == 1:
+                onto_counts[cands[0].split(":")[0]] = onto_counts.get(cands[0].split(":")[0], 0) + 1
+
+        def resolve(surface_norm: str) -> str | None:
+            cands = alias_index.get(surface_norm)
+            if not cands:
+                return None
+            if len(cands) == 1:
+                return cands[0]
+            best = max(cands, key=lambda t: (onto_counts.get(t.split(":")[0], 0), ), default=None)
+            # ties -> min term_id: max() keeps first on tie, so sort first
+            scored = sorted(cands, key=lambda t: (-onto_counts.get(t.split(":")[0], 0), t))
+            return scored[0]
+
+        for p in found:
+            for t in alias_index[p]:
+                if len(alias_index[p]) == 1:
+                    c.expected_mentions.add((url, t))
+        for s_surf, pred, o_surf in extract_svo(page["text"]):
+            s_id, o_id = resolve(s_surf), resolve(o_surf)
+            if s_id and o_id:
+                canon = c.expected_canon
+                c.expected_linked.add((url, canon[s_id], pred, canon[o_id]))
+
+
+# ---------------------------------------------------------------------------
+
+def generate_corpus(spec: CorpusSpec | None = None) -> Corpus:
+    spec = spec or CorpusSpec()
+    c = Corpus(spec=spec)
+    rng = random.Random(spec.seed)
+    aliases = _build_ontology(c, rng)
+    all_terms = set(aliases) | {"owl:Nothing"}
+    c.expected_canon = _union_find_canon(all_terms, c.equiv_pairs)
+    _build_pages(c, rng, aliases)
+    _link_oracle(c)
+    c.expected_edges = _closure_oracle(c)
+    # final oracle edge set = ontology closure ∪ linked SVO triples
+    for _, s, p, o in c.expected_linked:
+        c.expected_edges.add((s, p, o))
+    return c
+
+
+def corpus_to_spark(spark, c: Corpus):
+    """Materialize corpus tables as DataFrames (pages, statements, alias)."""
+    from pyspark.sql import types as T
+
+    pages_schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ])
+    stmt_schema = T.StructType([
+        T.StructField(f, T.StringType(), True)
+        for f in ["stanza", "subject", "predicate", "object", "value", "datatype", "language", "graph"]
+    ])
+    alias_schema = T.StructType([
+        T.StructField(f, T.StringType(), False)
+        for f in ["term_id", "alias", "alias_norm", "kind", "source_onto"]
+    ])
+    pages = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in c.pages],
+        schema=pages_schema,
+    )
+    stmts = spark.createDataFrame(
+        [tuple(s[k] for k in ["stanza", "subject", "predicate", "object", "value", "datatype", "language", "graph"])
+         for s in c.statements],
+        schema=stmt_schema,
+    )
+    alias = spark.createDataFrame(
+        [tuple(r[k] for k in ["term_id", "alias", "alias_norm", "kind", "source_onto"])
+         for r in c.alias_rows],
+        schema=alias_schema,
+    )
+    return pages, stmts, alias
