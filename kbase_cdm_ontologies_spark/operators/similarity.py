@@ -1,0 +1,228 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline.
+  Dot products stay JVM-side via F.zip_with + F.aggregate (no Python).
+- lsh_topk: random-hyperplane LSH — the scale path. Hyperplane signs
+  bucket vectors; only same-bucket (± multi-probe) candidates are
+  scored. Hyperplanes are derived deterministically from a seed via
+  md5, so results are reproducible run-to-run.
+- ivf_topk: IVF-style coarse quantization — k-means-lite centroids
+  chosen deterministically (first n_centroids vectors by id), vectors
+  assigned to nearest centroid at build; queries probe the nearest
+  n_probe centroids. Demonstrates the partition-pruning pattern that
+  matters at 10^9+ vectors: the scan reads only probed partitions.
+
+TF-IDF cosine (the entity-linking re-ranker from the north star) is
+`tfidf_vectors` + `cosine_join` below, over sparse (id, term, weight)
+rows — pure joins/aggs, no UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. One scan, one
+    partial top-k per partition (takeOrdered semantics via orderBy+limit
+    under AQE), no shuffle of the vectors themselves."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _seeded_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes from md5 bytes."""
+    planes = []
+    for p in range(n_planes):
+        vals: list[float] = []
+        ctr = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{ctr}".encode()).digest()
+            for i in range(0, 16, 4):
+                (u,) = struct.unpack(">I", h[i : i + 4])
+                vals.append((u / 2**31) - 1.0)  # uniform [-1, 1)
+            ctr += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Bit-string bucket id from hyperplane signs (column expression)."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in pl])) >= 0, "1").otherwise("0")
+        for pl in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (fall back to brute force when the bucket is tiny is the caller's
+    policy; recall measured in tests)."""
+    dim = len(query_vec)
+    planes = _seeded_hyperplanes(dim, n_planes, seed)
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(query_vec, pl)) >= 0 else "0"
+        for pl in planes
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.where(F.col("bucket") == qbits)
+        .select("vec_id", cosine_expr(F.col("v"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Assign each vector to its nearest centroid. Centroids = the
+    first n_centroids vectors by id (deterministic seeding; a k-means
+    refinement would slot in here unchanged). Returns (assigned_df,
+    centroids). At scale the assigned table is written partitioned by
+    centroid_id — probing then prunes partitions at scan time."""
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    ]
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sims = [
+        cosine_expr(F.col("v"), F.array(*[F.lit(x) for x in cv])).alias(f"c{cid}")
+        for cid, cv in cents
+    ]
+    withsims = emb.select("vec_id", "v", *sims)
+    best = F.greatest(*[F.col(f"c{cid}") for cid, _ in cents])
+    cond = None
+    assigned = withsims.withColumn("_best", best)
+    pick = F.lit(None).cast("int")
+    for cid, _ in cents:
+        pick = F.when(F.col(f"c{cid}") == F.col("_best"), F.lit(cid)).otherwise(pick)
+    assigned = assigned.select("vec_id", "v", pick.alias("centroid_id"))
+    _ = cond
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the n_probe centroids nearest to the query, brute-force
+    within them."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    probes = sorted(centroids, key=lambda c: -cos(c[1], query_vec))[:n_probe]
+    probe_ids = [cid for cid, _ in probes]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.where(F.col("centroid_id").isin(probe_ids))
+        .select("vec_id", cosine_expr(F.col("v"), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# --- TF-IDF (sparse, join-based — the linking re-ranker) -------------------
+
+def tfidf_vectors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, w): tf * log((N+1)/(df+1)), L2-normalized per doc."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0]["n"]
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    w = tf.join(F.broadcast(dfreq), "term").select(
+        "id",
+        "term",
+        (F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))).alias("w"),
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return w.join(norms, "id").select(
+        "id", "term", (F.col("w") / F.col("nrm")).alias("w")
+    )
+
+
+def cosine_join(va: DataFrame, vb: DataFrame, min_cosine: float = 0.0) -> DataFrame:
+    """Sparse cosine between all pairs sharing at least one term:
+    (id_a, id_b, cosine). Inverted-index join — the sparse-vector
+    analog of a similarity self-join; term skew handled by AQE."""
+    a = va.select(F.col("id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = vb.select(F.col("id").alias("id_b"), "term", F.col("w").alias("wb"))
+    return (
+        a.join(b, "term")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,112 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting. All built-in functions — these run
+over every document of the corpus, so nothing here may leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs | digit runs | single non-space symbol
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "was")
+
+# tiny n-gram/marker tables for heuristic language ID (per-language
+# high-frequency function words; deterministic, dependency-free)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "was", "with"),
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "es": ("el", "la", "los", "que", "una", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+}
+
+
+def _token_count_in(col, words):
+    """Count whitespace tokens of lower(text) that are in `words`.
+    Token-based (not lookaround regex) so the semantics are mirrorable
+    in RE2-based engines (the DuckDB oracles)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    wlist = list(words)
+    return F.size(F.filter(toks, lambda x: x.isin(*wlist)))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_chars, n_ws_tokens, n_bpe_tokens, avg_token_len)."""
+    t = F.col(text_col)
+    ws_tokens = F.split(F.trim(t), r"\s+")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).alias("n_chars"),
+        F.when(F.trim(t) == "", 0).otherwise(F.size(ws_tokens)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+        F.round(
+            F.when(F.trim(t) == "", 0.0).otherwise(
+                F.aggregate(
+                    F.transform(ws_tokens, lambda x: F.length(x).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.size(ws_tokens)
+            ),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_chars, punct_ratio, stopword_ratio, upper_ratio,
+    quality): cheap heuristics of the C4/Gopher family — the quality
+    gate a web-scale training pipeline puts before extraction."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    ws_tokens = F.split(F.trim(t), r"\s+")
+    n_tokens = F.when(F.trim(t) == "", 0).otherwise(F.size(ws_tokens))
+    n_stop = _token_count_in(t, STOPWORDS_EN)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    upper_ratio = F.round(n_upper / F.greatest(n_chars, F.lit(1)), 4)
+    quality = F.round(
+        F.when(n_tokens < 5, 0.0).otherwise(
+            (1.0 - punct_ratio) * (0.5 + F.least(stop_ratio * 2, F.lit(0.5)))
+        ),
+        4,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def detect_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_pred, lang_score): argmax over per-language marker-word
+    counts; 'und' (undetermined) when nothing matches. Ties broken by
+    language code order for determinism."""
+    t = F.col(text_col)
+    scores = {
+        lang: _token_count_in(t, words) for lang, words in LANG_MARKERS.items()
+    }
+    out = df.select(F.col(id_col).alias("id"), *[v.alias(f"s_{k}") for k, v in scores.items()])
+    best = F.greatest(*[F.col(f"s_{k}") for k in LANG_MARKERS])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (F.col(f"s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.select(
+        "id", pred.alias("lang_pred"), best.cast("int").alias("lang_score")
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp): md5 of casefolded whitespace-collapsed text — the
+    rolling-hash style near-identity key used for fast dedup joins."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))

@@ -1,0 +1,762 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the training-data ops) exposed as
+(spark, sf_dir) -> DataFrame, with an ANSI-SQL DuckDB oracle.
+
+Cross-engine determinism rules used throughout:
+- every aggregate/computed column is aliased identically in both
+- doubles are rounded (2dp money, 4-6dp ratios) in both
+- dates/timestamps are emitted as formatted strings
+- hashing uses md5 (identical hex in Spark and DuckDB)
+- token semantics = whitespace split; no regex lookarounds (RE2-safe)
+- floats are cast to double BEFORE arithmetic in both engines
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, textstats
+from .operators.canonicalize import connected_components
+from .operators.closure import transitive_closure
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+KG_VOCAB = ["spark", "join", "merge", "window", "stream", "vector", "hash", "filter"]
+_VOCAB_SQL = ", ".join(f"'{w}'" for w in KG_VOCAB)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans, filters, aggregations, joins, windows, set ops)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "top_suppliers_per_nation",
+    """
+    SELECT nation, s_suppkey, revenue, rnk FROM (
+      SELECT n.n_name AS nation, s.s_suppkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             row_number() OVER (
+               PARTITION BY n.n_name
+               ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, s.s_suppkey
+             ) AS rnk
+      FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, s.s_suppkey
+    ) WHERE rnk <= 3
+    """,
+)
+def top_suppliers_per_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("_rev"), F.asc("s_suppkey"))
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("nation", "s_suppkey", F.round("_rev", 2).alias("revenue"), "rnk")
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "parts_ordered_semi",
+    """
+    SELECT p.p_partkey, p.p_brand
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def parts_ordered_semi(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_brand")
+
+
+@q(
+    "order_priority_matrix",
+    """
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS notspec,
+           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def order_priority_matrix(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pairs = {
+        "urgent": "1-URGENT", "high": "2-HIGH", "medium": "3-MEDIUM",
+        "notspec": "4-NOT SPECIFIED", "low": "5-LOW",
+    }
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(F.when(F.col("o_orderpriority") == v, 1).otherwise(0)).alias(k)
+            for k, v in pairs.items()
+        ]
+    )
+
+
+@q(
+    "lineitem_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time-series aggs, windows, sessionization
+# ---------------------------------------------------------------------------
+
+@q(
+    "events_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+    """,
+)
+def events_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@q(
+    "events_running_total",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+)
+def events_running_total(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@q(
+    "events_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    gap = F.col("ts") - prev  # TIMESTAMP_NTZ difference -> interval
+    new_s = F.when(
+        prev.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_s.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@q(
+    "events_top_users_per_type",
+    """
+    SELECT event_type, user_id, total, rnk FROM (
+      SELECT event_type, user_id, round(sum(value), 2) AS total,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY sum(value) DESC, user_id) AS rnk
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rnk <= 3
+    """,
+)
+def events_top_users_per_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type", "user_id").agg(F.sum("value").alias("_tot"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("_tot"), F.asc("user_id"))
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "user_id", F.round("_tot", 2).alias("total"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG construction ops over the documents table
+# ---------------------------------------------------------------------------
+
+@q(
+    "kg_mention_counts",
+    f"""
+    SELECT token AS term, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+          FROM documents)
+    WHERE token IN ({_VOCAB_SQL})
+    GROUP BY token
+    """,
+)
+def kg_mention_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
+        .where(F.col("token").isin(*KG_VOCAB))
+        .groupBy(F.col("token").alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@q(
+    "kg_cooccurrence_edges",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    )
+    SELECT a.token AS subject, 'kg:cooccursWith' AS predicate,
+           b.token AS object, count(*) AS n_docs
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+    WHERE a.token IN ({_VOCAB_SQL}) AND b.token IN ({_VOCAB_SQL})
+    GROUP BY a.token, b.token
+    """,
+)
+def kg_cooccurrence_edges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
+        .where(F.col("token").isin(*KG_VOCAB))
+        .distinct()
+    )
+    a = dt.select("doc_id", F.col("token").alias("subject"))
+    b = dt.select("doc_id", F.col("token").alias("object"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("subject") < F.col("object"))
+        .groupBy("subject", "object")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("subject", F.lit("kg:cooccursWith").alias("predicate"), "object", "n_docs")
+    )
+
+
+@q(
+    "kg_connected_components",
+    """
+    SELECT doc_id AS id, doc_id - doc_id % 50 AS canonical FROM documents
+    """,
+)
+def kg_connected_components(spark, sf_dir):
+    # chain edges doc_id -> doc_id+1 within blocks of 50: exercises the
+    # real large-star/small-star loop; the oracle is the closed form.
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (
+        d.where(F.col("doc_id") % 50 != 49)
+        .select(F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst"))
+        .join(d.select(F.col("doc_id").alias("dst")), "dst", "left_semi")
+    )
+    return connected_components(e).select("id", "canonical")
+
+
+@q(
+    "kg_transitive_closure",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT c_custkey % 64 AS s, (c_custkey % 64) // 2 AS o
+      FROM customer WHERE c_custkey % 64 >= 1
+    ), tc(s, o) AS (
+      SELECT s, o FROM e
+      UNION
+      SELECT tc.s, e.o FROM tc JOIN e ON tc.o = e.s WHERE tc.o >= 1
+    )
+    SELECT s AS subject, o AS object FROM tc
+    """,
+)
+def kg_transitive_closure(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    e = (
+        c.select((F.col("c_custkey") % 64).alias("s"))
+        .where(F.col("s") >= 1)
+        .distinct()
+        .select("s", F.floor(F.col("s") / 2).cast("long").alias("o"))
+    )
+    return transitive_closure(e.select(F.col("s").cast("long").alias("s"), "o")).select(
+        F.col("s").alias("subject"), F.col("o").alias("object")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (documents, with deterministically injected duplicates)
+# ---------------------------------------------------------------------------
+
+_DUPED = """
+    (SELECT doc_id, text FROM documents
+     UNION ALL
+     SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+def _duped_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return d.unionByName(extra)
+
+
+@q(
+    "dedup_exact",
+    f"""
+    WITH d AS {_DUPED},
+    h AS (SELECT doc_id, md5(text) AS h FROM d),
+    reps AS (SELECT h, min(doc_id) AS rep_id, count(*) AS n FROM h GROUP BY h)
+    SELECT r.rep_id, h.doc_id AS dup_id
+    FROM h JOIN reps r USING (h)
+    WHERE r.n > 1 AND h.doc_id <> r.rep_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_duped_docs(spark, sf_dir), "doc_id", "text")
+
+
+@q(
+    "dedup_minhash_pairs",
+    f"""
+    WITH d AS {_DUPED},
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+             FROM d WHERE text <> ''),
+    sigs AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || token)) AS sig
+      FROM toks CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_candidate_pairs(_duped_docs(spark, sf_dir), "doc_id", "text", k=8)
+
+
+_BANDED_CAND = """
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+             FROM d WHERE text <> ''),
+    sigs AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || token)) AS sig
+      FROM toks CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(sig, '|' ORDER BY sig)) AS bucket
+      FROM sigs GROUP BY doc_id, seed // 2
+    ),
+    ok_buckets AS (
+      SELECT band, bucket FROM bands GROUP BY band, bucket
+      HAVING count(*) <= 1000
+    ),
+    bounded AS (
+      SELECT b.* FROM bands b JOIN ok_buckets USING (band, bucket)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bounded a JOIN bounded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    )
+"""
+
+
+@q(
+    "dedup_lsh_banded",
+    f"""
+    WITH d AS {_DUPED},
+    {_BANDED_CAND}
+    SELECT id_a, id_b FROM cand
+    """,
+)
+def dedup_lsh_banded(spark, sf_dir):
+    return dedup.banded_lsh_pairs(
+        _duped_docs(spark, sf_dir), "doc_id", "text", bands=4, rows_per_band=2,
+        max_bucket=1000,
+    )
+
+
+@q(
+    "dedup_jaccard",
+    f"""
+    WITH d AS {_DUPED},
+    {_BANDED_CAND},
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+        JOIN toks ta ON ta.doc_id = c.id_a
+        JOIN toks tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter), 4) AS jaccard
+    FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.5
+    """,
+)
+def dedup_jaccard(spark, sf_dir):
+    docs = _duped_docs(spark, sf_dir)
+    cand = dedup.banded_lsh_pairs(docs, "doc_id", "text", 4, 2, max_bucket=1000)
+    out = dedup.jaccard_pairs(docs, "doc_id", "text", cand, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@q("dedup_simhash")  # no SQL oracle: bit-level simhash (rows-only check)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_near_pairs(_duped_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@q(
+    "ann_cosine_scores",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           round(
+             list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+             / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    """,
+)
+def ann_cosine_scores(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.round(similarity.cosine_expr(v, qcol), 6).alias("cosine"),
+    )
+
+
+@q("ann_lsh_topk")  # approximate: verified by recall tests, rows-only here
+def ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return similarity.lsh_topk(emb, qvec, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_token_stats",
+    """
+    SELECT doc_id AS id, length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           round(CASE WHEN trim(text) = '' THEN 0.0
+                 ELSE list_aggregate(
+                        list_transform(string_split_regex(trim(text), '\\s+'),
+                                       x -> CAST(length(x) AS DOUBLE)), 'avg')
+                 END, 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    return textstats.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "text_quality",
+    """
+    WITH s AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','was'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id AS id, n_chars,
+           round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+           round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio,
+           round(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 4) AS upper_ratio,
+           round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+             (1.0 - round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4))
+             * (0.5 + least(round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) * 2, 0.5))
+           END, 4) AS quality
+    FROM s
+    """,
+)
+def text_quality(spark, sf_dir):
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "text_langid",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tl FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(tl, x -> x IN ('the','and','of','is','was','with'))) AS s_en,
+        len(list_filter(tl, x -> x IN ('der','die','und','das','nicht','ist'))) AS s_de,
+        len(list_filter(tl, x -> x IN ('el','la','los','que','una','es'))) AS s_es,
+        len(list_filter(tl, x -> x IN ('le','la','les','des','est','une'))) AS s_fr
+      FROM toks
+    )
+    SELECT doc_id AS id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           CAST(greatest(s_en, s_de, s_es, s_fr) AS INT) AS lang_score
+    FROM s
+    """,
+)
+def text_langid(spark, sf_dir):
+    return textstats.detect_language(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id AS id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Streaming + multimodal (weaker, rows-only checks where noted)
+# ---------------------------------------------------------------------------
+
+@q(
+    "streaming_event_windows",
+    """
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_event_windows(spark, sf_dir):
+    from .streaming.ingest import windowed_event_counts_stream
+
+    return windowed_event_counts_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@q("multimodal_image_features")  # stub decode kernel: rows-only check
+def multimodal_image_features(spark, sf_dir):
+    from .operators.multimodal import image_features
+
+    assets = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    return image_features(assets)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

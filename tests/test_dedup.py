@@ -1,0 +1,128 @@
+"""Dedup operator family vs pure-Python oracles."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kbase_cdm_ontologies_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (4, "completely different text about spark clusters"),
+    (5, "spark clusters completely different text about"),  # same token set as 4
+    (6, "unrelated content entirely"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark):
+    got = {
+        (r["rep_id"], r["dup_id"])
+        for r in dedup.exact_duplicates(_df(spark), "doc_id", "text").collect()
+    }
+    assert got == {(1, 2)}
+
+
+def _py_minhash(text, k=8):
+    toks = set(text.split())
+    return [
+        min(hashlib.md5(f"{s}:{t}".encode()).hexdigest() for t in toks)
+        for s in range(k)
+    ]
+
+
+def test_minhash_signatures_match_python(spark):
+    sigs = dedup.minhash_signatures(_df(spark), "doc_id", "text", k=8)
+    got = {}
+    for r in sigs.collect():
+        got.setdefault(r["id"], {})[r["seed"]] = r["sig"]
+    for doc_id, text in DOCS:
+        want = _py_minhash(text)
+        assert [got[doc_id][s] for s in range(8)] == want
+
+
+def test_minhash_pairs_find_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(_df(spark), "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs  # identical
+    assert (4, 5) in pairs  # same token set
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares most minhashes
+    assert not any(6 in p for p in pairs)
+
+
+def test_banded_lsh_subset_of_rows1(spark):
+    """(b=4, r=2) bands are strictly coarser than per-hash matching."""
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.banded_lsh_pairs(_df(spark), "doc_id", "text", 4, 2).collect()
+    }
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(_df(spark), "doc_id", "text", k=8).collect()
+    }
+    assert banded <= loose
+    assert (1, 2) in banded and (4, 5) in banded
+
+
+def test_jaccard_exact_values(spark):
+    cand = spark.createDataFrame([(1, 2), (1, 3), (4, 6)], ["id_a", "id_b"])
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 4)
+        for r in dedup.jaccard_pairs(_df(spark), "doc_id", "text", cand, 0.0).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    # docs 1/3: tokens differ by jumps vs leaps: |inter|=7, |union|=9
+    assert got[(1, 3)] == round(7 / 9, 4)
+    # zero-intersection pairs never join -> absent, not 0.0
+    assert (4, 6) not in got
+
+
+def _py_simhash(text):
+    toks = set(text.split())
+    votes = [0] * 64
+    for t in toks:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        h60 = int(hx[0:15], 16)
+        h60b = int(hx[15:30], 16)
+        for bit in range(64):
+            b = (h60 >> bit) & 1 if bit < 32 else (h60b >> (bit - 32)) & 1
+            votes[bit] += 1 if b else -1
+    v = sum((1 << bit) for bit in range(64) if votes[bit] > 0)
+    return v - (1 << 64) if v >= (1 << 63) else v  # signed 64-bit (JVM long)
+
+
+def test_simhash_matches_python(spark):
+    got = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash64(_df(spark), "doc_id", "text").collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_simhash(text), doc_id
+
+
+def test_simhash_near_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(_df(spark), "doc_id", "text", 10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(4, 5)] == 0  # token-set based: same set, same simhash
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 10
+
+
+def test_ngram_shingles(spark):
+    sh = {
+        r["shingle"]
+        for r in dedup.ngram_shingles(
+            spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"]), "doc_id", "text", 2
+        ).collect()
+    }
+    assert sh == {"a b", "b c", "c d"}
