@@ -103,14 +103,24 @@ def run_pipeline(
         lambda: alias_dict.with_candidate_counts(alias_dict.build_alias_dict(statements)),
     )
     fp1 = ck.fingerprint_of("m1_extracted", "m2_alias") if ck else fp0
-    ments = stage(
-        "m3_mentions", fp1, [mentions_op.detect_mentions],
-        lambda: mentions_op.detect_mentions(extracted, alias),
-    )
-    raw = stage(
-        "m4_raw_triples", fp1, [triples_op.extract_triples],
-        lambda: triples_op.extract_triples(extracted),
-    )
+    if ck is None:
+        # no per-stage checkpoints -> fuse extract+mentions+SVO into one
+        # python pass (operators/doc_pipeline.py): the heavy text column
+        # crosses the JVM<->python boundary once instead of three times
+        from ..operators import doc_pipeline
+
+        fused = doc_pipeline.fused_doc_pass(pages, alias).persist()
+        ments = doc_pipeline.mentions_view(fused)
+        raw = doc_pipeline.raw_triples_view(fused)
+    else:
+        ments = stage(
+            "m3_mentions", fp1, [mentions_op.detect_mentions],
+            lambda: mentions_op.detect_mentions(extracted, alias),
+        )
+        raw = stage(
+            "m4_raw_triples", fp1, [triples_op.extract_triples],
+            lambda: triples_op.extract_triples(extracted),
+        )
     cmap = stage(
         "m6_canonical", fp0, [canonicalize.connected_components],
         lambda: canonicalize.canonical_map(statements),

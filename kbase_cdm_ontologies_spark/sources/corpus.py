@@ -59,6 +59,13 @@ class CorpusSpec:
     seed: int = 42
     n_pages: int = 500
     n_terms: int = N_TERMS_PER_ONTO
+    # sentences per page: (2, 6) mimics the tiny test fixture; bench
+    # uses (30, 60) to approximate real Common-Crawl page weight
+    min_sents: int = 2
+    max_sents: int = 6
+    # plain-Python oracle computation is O(pages * aliases); benches
+    # that only need the input tables skip it
+    build_oracle: bool = True
 
 
 @dataclass
@@ -253,62 +260,92 @@ def _closure_oracle(c: Corpus) -> set[tuple[str, str, str]]:
 # pages + mention/linking oracle
 # ---------------------------------------------------------------------------
 
-def _build_pages(c: Corpus, rng: random.Random, aliases: dict[str, list[str]]) -> None:
+def page_context(c: Corpus, aliases: dict[str, list[str]]) -> dict:
+    """The small, picklable context a page renderer needs — built once,
+    broadcastable for distributed generation (sources/synth.py)."""
     alias_index: dict[str, list[str]] = {}
     for r in c.alias_rows:
         alias_index.setdefault(r["alias_norm"], []).append(r["term_id"])
     unambiguous = {a: ts[0] for a, ts in alias_index.items() if len(ts) == 1}
     term_onto = {t: t.split(":")[0] for t in aliases}
-    hot_alias = c.alias_rows[0]["alias"]  # skew fixture: appears on ~60% of pages
-    all_aliases = sorted({r["alias"] for r in c.alias_rows if r["alias"] != AMBIGUOUS_ALIAS})
+    return dict(
+        unambiguous=unambiguous,
+        term_onto=term_onto,
+        hot_alias=c.alias_rows[0]["alias"],  # skew fixture: ~60% of pages
+        all_aliases=sorted(
+            {r["alias"] for r in c.alias_rows if r["alias"] != AMBIGUOUS_ALIAS}
+        ),
+        ctx_alias={o: aliases[term_id(o, 2)][0] for o in ONTOLOGIES},
+        min_sents=c.spec.min_sents,
+        max_sents=c.spec.max_sents,
+        seed=c.spec.seed,
+    )
 
-    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
-    langs = ["en"] * 9 + ["de", "es"]
-    for i in range(c.spec.n_pages):
-        url = f"https://example.org/p{i:06d}"
-        lang = langs[i % len(langs)]
-        sents: list[str] = []
-        n_sent = rng.randint(2, 6)
-        used_onto_context: str | None = None
-        for _ in range(n_sent):
-            kind = rng.random()
-            if kind < 0.35:  # mention sentence
-                a = rng.choice(all_aliases)
-                sents.append(
-                    f"The {a} {rng.choice(_NOISE)} was {rng.choice(_NOISE)} in this {rng.choice(_NOISE)}."
-                )
-                if a in unambiguous:
-                    used_onto_context = term_onto[unambiguous[a]]
-            elif kind < 0.6:  # SVO sentence
-                s_alias = rng.choice(all_aliases)
-                o_alias = rng.choice(all_aliases)
-                verb = rng.choice(SVO_VERBS)
-                sents.append(f"{s_alias.capitalize()} {verb} {o_alias}.")
-            else:  # noise
-                sents.append(" ".join(rng.choice(_NOISE) for _ in range(rng.randint(5, 10))).capitalize() + ".")
-        if rng.random() < 0.6:
-            sents.append(f"The {hot_alias} appears again here.")
-        if rng.random() < 0.1:
-            # ambiguous mention; context decides AAA vs BBB
-            ctx_onto = used_onto_context or rng.choice(["AAA", "BBB"])
-            ctx_term = term_id(ctx_onto, 2)
-            ctx_alias = aliases[ctx_term][0]
-            sents.append(f"The {ctx_alias} level tracked the {AMBIGUOUS_ALIAS} closely.")
 
-        title = f"Report {i:06d} on {rng.choice(_NOISE)}"
-        body = " ".join(sents)
-        html = (
-            "<html><head><title>" + title + "</title>"
-            "<style>body { color: #000; }</style></head>\n"
-            "<body><h1>" + title + "</h1>\n"
-            "<script>var x = 1 &amp;&amp; 2;</script>\n"
-            "<p>" + body + "</p>\n"
-            "<div>footer &copy; example</div></body></html>"
-        ).encode("utf-8")
-        text = extract_text(html)
-        c.pages.append(
-            dict(url=url, warc_ts=t0 + timedelta(seconds=i), html=html, text=text, lang=lang)
+_PAGE_LANGS = ["en"] * 9 + ["de", "es"]
+_PAGE_T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def render_page(i: int, ctx: dict) -> dict:
+    """Render page i deterministically (per-page RNG: independent of
+    generation order/partitioning, so driver-side and distributed
+    generation emit byte-identical rows)."""
+    rng = random.Random(f"{ctx['seed']}:{i}")
+    url = f"https://example.org/p{i:06d}"
+    lang = _PAGE_LANGS[i % len(_PAGE_LANGS)]
+    all_aliases = ctx["all_aliases"]
+    sents: list[str] = []
+    n_sent = rng.randint(ctx["min_sents"], ctx["max_sents"])
+    used_onto_context: str | None = None
+    for _ in range(n_sent):
+        kind = rng.random()
+        if kind < 0.35:  # mention sentence
+            a = rng.choice(all_aliases)
+            sents.append(
+                f"The {a} {rng.choice(_NOISE)} was {rng.choice(_NOISE)} in this {rng.choice(_NOISE)}."
+            )
+            if a in ctx["unambiguous"]:
+                used_onto_context = ctx["term_onto"][ctx["unambiguous"][a]]
+        elif kind < 0.6:  # SVO sentence
+            s_alias = rng.choice(all_aliases)
+            o_alias = rng.choice(all_aliases)
+            verb = rng.choice(SVO_VERBS)
+            sents.append(f"{s_alias.capitalize()} {verb} {o_alias}.")
+        else:  # noise
+            sents.append(
+                " ".join(rng.choice(_NOISE) for _ in range(rng.randint(5, 10))).capitalize() + "."
+            )
+    if rng.random() < 0.6:
+        sents.append(f"The {ctx['hot_alias']} appears again here.")
+    if rng.random() < 0.1:
+        # ambiguous mention; context decides AAA vs BBB
+        ctx_onto = used_onto_context or rng.choice(["AAA", "BBB"])
+        if ctx_onto not in ctx["ctx_alias"]:
+            ctx_onto = "AAA"
+        sents.append(
+            f"The {ctx['ctx_alias'][ctx_onto]} level tracked the {AMBIGUOUS_ALIAS} closely."
         )
+
+    title = f"Report {i:06d} on {rng.choice(_NOISE)}"
+    body = " ".join(sents)
+    html = (
+        "<html><head><title>" + title + "</title>"
+        "<style>body { color: #000; }</style></head>\n"
+        "<body><h1>" + title + "</h1>\n"
+        "<script>var x = 1 &amp;&amp; 2;</script>\n"
+        "<p>" + body + "</p>\n"
+        "<div>footer &copy; example</div></body></html>"
+    ).encode("utf-8")
+    text = extract_text(html)
+    return dict(
+        url=url, warc_ts=_PAGE_T0 + timedelta(seconds=i), html=html, text=text, lang=lang
+    )
+
+
+def _build_pages(c: Corpus, rng: random.Random, aliases: dict[str, list[str]]) -> None:
+    ctx = page_context(c, aliases)
+    for i in range(c.spec.n_pages):
+        c.pages.append(render_page(i, ctx))
 
 
 def _link_oracle(c: Corpus) -> None:
@@ -369,11 +406,12 @@ def generate_corpus(spec: CorpusSpec | None = None) -> Corpus:
     all_terms = set(aliases) | {"owl:Nothing"}
     c.expected_canon = _union_find_canon(all_terms, c.equiv_pairs)
     _build_pages(c, rng, aliases)
-    _link_oracle(c)
-    c.expected_edges = _closure_oracle(c)
-    # final oracle edge set = ontology closure ∪ linked SVO triples
-    for _, s, p, o in c.expected_linked:
-        c.expected_edges.add((s, p, o))
+    if spec.build_oracle:
+        _link_oracle(c)
+        c.expected_edges = _closure_oracle(c)
+        # final oracle edge set = ontology closure ∪ linked SVO triples
+        for _, s, p, o in c.expected_linked:
+            c.expected_edges.add((s, p, o))
     return c
 
 
