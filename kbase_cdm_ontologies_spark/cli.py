@@ -51,6 +51,27 @@ def main(argv: list[str] | None = None) -> int:
     ck = out["checkpoints"]
     n_edges = out["edges"].count()
     n_nodes = out["nodes"].count()
+
+    # stages 1-2 analog: per-ontology analysis record (JSON sink)
+    from .operators.analysis import analyze_ontologies, predicate_stats
+
+    analyze_ontologies(stmts).coalesce(1).write.mode("overwrite").json(
+        f"{args.out}/analysis_json"
+    )
+    # stages 6-7 analog: TSV + parquet export of every output table
+    from .operators.export import export_tables
+
+    export_report = export_tables(
+        {
+            "edges": out["edges"],
+            "nodes": out["nodes"],
+            "statements": stmts,
+            "mentions": out["mentions"],
+            "linked_triples": out["linked"],
+            "rdf_level_summary_statistic": predicate_stats(stmts),
+        },
+        args.out,
+    )
     wall = time.time() - t0
 
     got = {(r["subject"], r["predicate"], r["object"]) for r in out["edges"].collect()}
@@ -64,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
         "recall": round(tp / len(want), 4) if want else 0.0,
         "stages_run": ck.stages_run,
         "stages_skipped": ck.stages_skipped,
+        "exported_tables": {r["table"]: r["rows"] for r in export_report},
         "docs_per_sec": round(args.pages / wall, 2),
         "wall_sec": round(wall, 2),
     }

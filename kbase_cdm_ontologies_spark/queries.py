@@ -460,6 +460,183 @@ def kg_transitive_closure(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Reference string semantics: IRI normalization + CURIE compaction
+# (scripts/analyze_core_ontologies.py:11-29; semsql prefix table)
+# ---------------------------------------------------------------------------
+
+_IRI_DERIVATION_SQL = """
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 5 = 0
+               THEN 'http://purl.obolibrary.org/obo/NCBITaxon_' || c_custkey
+             WHEN c_custkey % 5 = 1
+               THEN 'http://purl.obolibrary.org/obo/GO_' || c_custkey
+             WHEN c_custkey % 5 = 2
+               THEN 'http://purl.obolibrary.org/obo/CHEBI#x' || c_custkey
+             WHEN c_custkey % 5 = 3
+               THEN 'http://purl.obolibrary.org/obo/bfo.owl'
+             ELSE 'https://example.org/thing/' || c_custkey END AS iri
+      FROM customer
+"""
+
+
+def _iri_df(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    obo = "http://purl.obolibrary.org/obo/"
+    iri = (
+        F.when(k % 5 == 0, F.concat(F.lit(obo + "NCBITaxon_"), k))
+        .when(k % 5 == 1, F.concat(F.lit(obo + "GO_"), k))
+        .when(k % 5 == 2, F.concat(F.lit(obo + "CHEBI#x"), k))
+        .when(k % 5 == 3, F.lit(obo + "bfo.owl"))
+        .otherwise(F.concat(F.lit("https://example.org/thing/"), k))
+    )
+    return c.select("c_custkey", iri.alias("iri"))
+
+
+@q(
+    "iri_normalize",
+    f"""
+    WITH iris AS ({_IRI_DERIVATION_SQL})
+    SELECT c_custkey, iri,
+      CASE WHEN iri LIKE '%NCBITaxon%' THEN 'ncbitaxon'
+           WHEN regexp_extract(iri,
+                'http://purl\\.obolibrary\\.org/obo/([A-Za-z]+)(_|#|\\.)', 1) <> ''
+             THEN lower(regexp_extract(iri,
+                'http://purl\\.obolibrary\\.org/obo/([A-Za-z]+)(_|#|\\.)', 1))
+           WHEN regexp_extract(iri,
+                'http://purl\\.obolibrary\\.org/obo/([A-Za-z]+)$', 1) <> ''
+             THEN lower(regexp_extract(iri,
+                'http://purl\\.obolibrary\\.org/obo/([A-Za-z]+)$', 1))
+           ELSE NULL END AS onto_prefix
+    FROM iris
+    """,
+)
+def iri_normalize(spark, sf_dir):
+    from .functions.normalize import normalize_iri_expr
+
+    return _iri_df(spark, sf_dir).select(
+        "c_custkey", "iri", normalize_iri_expr(F.col("iri")).alias("onto_prefix")
+    )
+
+
+@q(
+    "curie_compact",
+    f"""
+    WITH iris AS ({_IRI_DERIVATION_SQL}),
+    prefixes(prefix, base) AS (VALUES
+      ('GO', 'http://purl.obolibrary.org/obo/GO_'),
+      ('CHEBI', 'http://purl.obolibrary.org/obo/CHEBI#'),
+      ('NCBITaxon', 'http://purl.obolibrary.org/obo/NCBITaxon_'),
+      ('obo', 'http://purl.obolibrary.org/obo/'),
+      ('ex', 'https://example.org/thing/'))
+    SELECT c_custkey, iri,
+           CASE WHEN prefix IS NOT NULL
+                THEN prefix || ':' || substring(iri, length(base) + 1)
+                ELSE iri END AS curie
+    FROM (
+      SELECT i.c_custkey, i.iri, p.prefix, p.base,
+             row_number() OVER (
+               PARTITION BY i.c_custkey, i.iri
+               ORDER BY length(p.base) DESC, p.prefix) AS rn
+      FROM iris i LEFT JOIN prefixes p ON starts_with(i.iri, p.base)
+    ) WHERE rn = 1
+    """,
+)
+def curie_compact(spark, sf_dir):
+    from .functions.normalize import compact_curies
+
+    prefixes = spark.createDataFrame(
+        [
+            ("GO", "http://purl.obolibrary.org/obo/GO_"),
+            ("CHEBI", "http://purl.obolibrary.org/obo/CHEBI#"),
+            ("NCBITaxon", "http://purl.obolibrary.org/obo/NCBITaxon_"),
+            ("obo", "http://purl.obolibrary.org/obo/"),
+            ("ex", "https://example.org/thing/"),
+        ],
+        ["prefix", "base"],
+    )
+    return compact_curies(_iri_df(spark, sf_dir), "iri", prefixes)
+
+
+@q(
+    "top5_customer_sample_per_nation",
+    """
+    SELECT n.n_name AS nation,
+           array_to_string(list_sort(array_agg(DISTINCT c.c_name))[1:5], ';')
+             AS sample_customers,
+           count(DISTINCT c.c_custkey) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def top5_customer_sample_per_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.concat_ws(
+                ";", F.slice(F.sort_array(F.collect_set("c_name")), 1, 5)
+            ).alias("sample_customers"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@q(
+    "events_json_props",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+@q(
+    "building_customers_with_orders_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def building_customers_with_orders_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey").intersect(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+@q(
+    "building_customers_no_orders_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def building_customers_no_orders_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+        .exceptAll(o.select(F.col("o_custkey").alias("c_custkey")).distinct())
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup family (documents, with deterministically injected duplicates)
 # ---------------------------------------------------------------------------
 
