@@ -37,6 +37,8 @@ _SPACES = re.compile(r"[ \t\r\f\v]+")
 def extract_text(html_bytes: bytes) -> str:
     """The frozen HTML->text extraction rule (M1).
 
+    0. transparently gunzip payloads with the gzip magic (reference
+       analog: enhanced_download.py:61-80 / analyze_prefixes.py:10-24)
     1. decode UTF-8 (replace errors)
     2. drop <script>/<style> subtrees and comments
     3. block-level tags -> newline, all other tags -> ''
@@ -44,6 +46,13 @@ def extract_text(html_bytes: bytes) -> str:
     5. collapse horizontal whitespace, strip lines, drop empties
     6. join with single \\n
     """
+    if html_bytes[:2] == b"\x1f\x8b":
+        import gzip as _gzip
+
+        try:
+            html_bytes = _gzip.decompress(html_bytes)
+        except OSError:
+            pass  # corrupt gzip: fall through, decode raw bytes
     s = html_bytes.decode("utf-8", errors="replace")
     s = _SCRIPT_STYLE.sub(" ", s)
     s = _COMMENT.sub(" ", s)

@@ -920,6 +920,13 @@ def streaming_event_windows(spark, sf_dir):
     return windowed_event_counts_stream(spark, f"{sf_dir}/events.parquet")
 
 
+@q("streaming_sessionization")  # stateful (applyInPandasWithState): rows-only
+def streaming_sessionization(spark, sf_dir):
+    from .streaming.stateful import sessionize_stream
+
+    return sessionize_stream(spark, f"{sf_dir}/events.parquet", gap_minutes=30)
+
+
 @q("multimodal_image_features")  # stub decode kernel: rows-only check
 def multimodal_image_features(spark, sf_dir):
     from .operators.multimodal import image_features
