@@ -42,6 +42,11 @@ HEADLINE = [
     "text_quality",
     "text_token_stats",
     "text_fingerprint",
+    "iri_normalize",
+    "curie_compact",
+    "top5_customer_sample_per_nation",
+    "events_json_props",
+    "kg_mentions_operator",
 ]
 
 

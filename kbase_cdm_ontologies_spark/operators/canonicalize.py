@@ -92,13 +92,17 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    n_prev = e.count()
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        e = e2
-        if changed == 0:
+        n_new = e2.count()
+        # cheap count check first; only when counts agree pay for the
+        # set-equality check (one anti-join suffices at equal counts)
+        if n_new == n_prev and e2.exceptAll(e).limit(1).count() == 0:
+            e = e2
             converged = True
             break
+        e, n_prev = e2, n_new
     if not converged:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
     stars = e.groupBy("u").agg(F.min("v").alias("canonical"))

@@ -22,6 +22,16 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def sorted_text_sink(df: DataFrame, col: str, out_path: str) -> None:
+    """One value per line, globally sorted — the reference's term-list
+    sink (analyze_core_ontologies.py:300-310,
+    core_onto_unique_external_terms.tsv). Global sort = range shuffle;
+    coalesce(1) only because the artifact is a single small file."""
+    df.select(F.col(col).cast("string").alias("v")).distinct().orderBy("v").coalesce(
+        1
+    ).write.mode("overwrite").text(out_path)
+
+
 def export_tables(tables: dict[str, DataFrame], out_root: str) -> list[dict]:
     """Write each table as TSV + parquet; return the size/compression
     report. Arrays are serialized as |-joined strings in the TSV

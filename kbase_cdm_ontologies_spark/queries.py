@@ -920,6 +920,46 @@ def streaming_event_windows(spark, sf_dir):
     return windowed_event_counts_stream(spark, f"{sf_dir}/events.parquet")
 
 
+@q(
+    "kg_mentions_operator",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS url,
+           'VOC:' || token AS term_id, token AS alias_norm,
+           CAST(count(*) AS INT) AS n_hits
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+          FROM documents)
+    WHERE token IN ({_VOCAB_SQL})
+    GROUP BY doc_id, token
+    """,
+)
+def kg_mentions_operator(spark, sf_dir):
+    """The REAL Aho-Corasick mention operator under the oracle gate:
+    on the space-tokenized documents table its word-boundary substring
+    semantics coincide with exact token matching, which IS
+    SQL-expressible."""
+    from .operators.mentions import detect_mentions
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("text").alias("extracted_text"),
+        F.lit("en").alias("lang"),
+    )
+    alias = spark.createDataFrame(
+        [(f"VOC:{w}", w) for w in KG_VOCAB], ["term_id", "alias_norm"]
+    )
+    return detect_mentions(d, alias)
+
+
+@q("approx_distinct_stats")  # approximate by design: rows-only check
+def approx_distinct_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+    )
+
+
 @q("streaming_sessionization")  # stateful (applyInPandasWithState): rows-only
 def streaming_sessionization(spark, sf_dir):
     from .streaming.stateful import sessionize_stream
