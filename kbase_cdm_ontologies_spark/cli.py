@@ -58,9 +58,36 @@ def main(argv: list[str] | None = None) -> int:
     analyze_ontologies(stmts).coalesce(1).write.mode("overwrite").json(
         f"{args.out}/analysis_json"
     )
-    # stages 6-7 analog: TSV + parquet export of every output table
-    from .operators.export import export_tables
+    # stages 6-7 analog: TSV + parquet export of every output table,
+    # incl. the reference's prefix and owl_restriction table shapes
+    # (outputs_test/tsv_tables/prefix.tsv, owl_restriction.tsv)
+    from pyspark.sql import functions as F
 
+    from .operators.closure import prune_for_closure, restriction_axioms
+    from .operators.export import export_tables, sorted_text_sink
+
+    prefix = spark.createDataFrame(
+        [
+            ("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+            ("rdfs", "http://www.w3.org/2000/01/rdf-schema#"),
+            ("owl", "http://www.w3.org/2002/07/owl#"),
+            ("xsd", "http://www.w3.org/2001/XMLSchema#"),
+            ("oio", "http://www.geneontology.org/formats/oboInOwl#"),
+            ("obo", "http://purl.obolibrary.org/obo/"),
+            ("AAA", "http://purl.obolibrary.org/obo/AAA_"),
+            ("BBB", "http://purl.obolibrary.org/obo/BBB_"),
+            ("CCC", "http://purl.obolibrary.org/obo/CCC_"),
+            ("BFO", "http://purl.obolibrary.org/obo/BFO_"),
+            ("RO", "http://purl.obolibrary.org/obo/RO_"),
+            ("kg", "https://example.org/kg/"),
+        ],
+        ["prefix", "base"],
+    )
+    owl_restriction = restriction_axioms(prune_for_closure(stmts)).select(
+        F.col("prop").alias("on_property"),
+        F.col("c").alias("filler"),
+        F.col("a").alias("id"),
+    )
     export_report = export_tables(
         {
             "edges": out["edges"],
@@ -69,9 +96,13 @@ def main(argv: list[str] | None = None) -> int:
             "mentions": out["mentions"],
             "linked_triples": out["linked"],
             "rdf_level_summary_statistic": predicate_stats(stmts),
+            "prefix": prefix,
+            "owl_restriction": owl_restriction,
         },
         args.out,
     )
+    # sorted term-list sink (core_onto_unique_external_terms.tsv analog)
+    sorted_text_sink(out["nodes"], "id", f"{args.out}/term_list")
     wall = time.time() - t0
 
     got = {(r["subject"], r["predicate"], r["object"]) for r in out["edges"].collect()}

@@ -104,3 +104,42 @@ def test_prune_keeps_only_logic(corpus_dfs):
     assert "rdfs:label" not in preds and "oio:hasExactSynonym" not in preds
     restr = restriction_axioms(pruned)
     assert restr.count() == 3
+
+
+def test_long_chain_path_doubling(spark):
+    """Chain of 200: path doubling converges in ~8 rounds, |closure| =
+    n(n-1)/2 (stress of SURVEY.md §7.4 risk 2 at unit scale)."""
+    n = 200
+    edges = [(f"n{i:04d}", f"n{i+1:04d}") for i in range(n - 1)]
+    got = _tc(spark, edges)
+    assert len(got) == n * (n - 1) // 2
+
+
+def test_random_dag_matches_bfs(spark):
+    """Random DAG (edges only i -> j with j > i) vs hand-rolled BFS."""
+    import random
+
+    rng = random.Random(7)
+    n = 120
+    edges = sorted(
+        {
+            (f"v{i:03d}", f"v{j:03d}")
+            for _ in range(300)
+            for i, j in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    got = _tc(spark, edges)
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+    want = set()
+    for s in {e[0] for e in edges}:
+        seen, stack = set(), [s]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        want |= {(s, o) for o in seen}
+    assert got == want
