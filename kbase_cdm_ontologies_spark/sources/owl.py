@@ -1,0 +1,289 @@
+"""OWL ingestion: RDF/XML and OWL functional-syntax documents ->
+statements table rows.
+
+Re-expresses the reference's two parsers with the same observable
+semantics, distributed via mapInPandas:
+
+- RDF/XML: DOM walk extracting ontology IRI, owl:imports, classes
+  (rdf:about), labels/synonyms (literals with xml:lang), subClassOf
+  (resource refs AND someValuesFrom restrictions reified through blank
+  nodes), equivalentClass, isDefinedBy
+  (reference scripts/analyze_core_ontologies.py:74-128 uses
+  xml.etree.ElementTree the same way).
+- Functional syntax: regex scan for Ontology(<...>), Import(<...>),
+  Declaration(Class(<...>)), SubClassOf(<...> <...>)
+  (reference scripts/analyze_non_core_ontologies.py:43,59-82, incl. the
+  "Prefix(" sniff within the first 1000 chars).
+
+Output rows use the semsql statements shape
+(stanza, subject, predicate, object, value, datatype, language, graph)
+with CURIEs compacted through the standard OBO base.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+RDFS = "{http://www.w3.org/2000/01/rdf-schema#}"
+OWL = "{http://www.w3.org/2002/07/owl#}"
+OIO = "{http://www.geneontology.org/formats/oboInOwl#}"
+XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+
+OBO_BASE = "http://purl.obolibrary.org/obo/"
+
+STATEMENTS_SCHEMA = (
+    "stanza string, subject string, predicate string, object string, "
+    "value string, datatype string, language string, graph string"
+)
+
+_SYN_PREDS = {
+    f"{OIO}hasExactSynonym": "oio:hasExactSynonym",
+    f"{OIO}hasRelatedSynonym": "oio:hasRelatedSynonym",
+    f"{OIO}hasBroadSynonym": "oio:hasBroadSynonym",
+}
+
+BLACKLIST_FILES = ("cp.owl", "has.owl", "is.owl", "apollo.owl")
+ACCEPTED_EXTENSIONS = (".owl", ".ofn", ".obo")
+
+
+def curie(iri: str) -> str:
+    """IRI -> CURIE through the OBO base; already-compact ids pass
+    through; blank nodes preserved."""
+    if iri.startswith(OBO_BASE):
+        local = iri[len(OBO_BASE):]
+        if local.endswith(".owl"):
+            return f"obo:{local}"
+        return local.replace("_", ":", 1) if "_" in local else f"obo:{local}"
+    if iri.startswith("http://www.w3.org/2002/07/owl#"):
+        return "owl:" + iri.rsplit("#", 1)[1]
+    return iri
+
+
+def _resource(el) -> str | None:
+    return el.get(f"{RDF}resource") or el.get(f"{RDF}about")
+
+
+def parse_owl_xml(content: str, source_name: str) -> list[dict]:
+    """One RDF/XML ontology document -> statements rows."""
+    rows: list[dict] = []
+    root = ET.fromstring(content)
+    bn_counter = 0
+
+    def stmt(stanza, subject, predicate, obj=None, value=None, datatype=None, language=None):
+        rows.append(
+            dict(stanza=stanza, subject=subject, predicate=predicate,
+                 object=obj, value=value,
+                 datatype=datatype if datatype else ("xsd:string" if value is not None and language is None else None),
+                 language=language, graph=None)
+        )
+
+    onto_el = root.find(f"{OWL}Ontology")
+    onto_iri = _resource(onto_el) if onto_el is not None else None
+    onto_curie = curie(onto_iri) if onto_iri else source_name
+    if onto_el is not None:
+        stmt(onto_curie, onto_curie, "rdf:type", obj="owl:Ontology")
+        for imp in onto_el.findall(f"{OWL}imports"):
+            stmt(onto_curie, onto_curie, "owl:imports", obj=curie(_resource(imp) or ""))
+
+    for cls in root.findall(f"{OWL}Class"):
+        about = cls.get(f"{RDF}about")
+        if not about:
+            continue
+        term = curie(about)
+        stmt(term, term, "rdf:type", obj="owl:Class")
+        for lab in cls.findall(f"{RDFS}label"):
+            stmt(term, term, "rdfs:label", value=lab.text, language=lab.get(XML_LANG))
+        for tag, pred in _SYN_PREDS.items():
+            for syn in cls.findall(tag):
+                stmt(term, term, pred, value=syn.text, language=syn.get(XML_LANG))
+        for defby in cls.findall(f"{RDFS}isDefinedBy"):
+            stmt(term, term, "rdfs:isDefinedBy", obj=curie(_resource(defby) or ""))
+        for eq in cls.findall(f"{OWL}equivalentClass"):
+            res = _resource(eq)
+            if res:
+                stmt(term, term, "owl:equivalentClass", obj=curie(res))
+        for sub in cls.findall(f"{RDFS}subClassOf"):
+            res = _resource(sub)
+            if res:
+                stmt(term, term, "rdfs:subClassOf", obj=curie(res))
+                continue
+            restr = sub.find(f"{OWL}Restriction")
+            if restr is not None:
+                bn = f"_:riog_{source_name}_{bn_counter:06d}"
+                bn_counter += 1
+                on_p = restr.find(f"{OWL}onProperty")
+                some = restr.find(f"{OWL}someValuesFrom")
+                stmt(term, term, "rdfs:subClassOf", obj=bn)
+                if on_p is not None:
+                    stmt(term, bn, "owl:onProperty", obj=curie(_resource(on_p) or ""))
+                if some is not None:
+                    stmt(term, bn, "owl:someValuesFrom", obj=curie(_resource(some) or ""))
+    return rows
+
+
+# --- RDF/XML renderer (fixture round-trip: render -> parse == id) ----------
+
+_NS_DECL = (
+    'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+    'xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#" '
+    'xmlns:owl="http://www.w3.org/2002/07/owl#" '
+    'xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#" '
+    'xmlns:xml="http://www.w3.org/XML/1998/namespace"'
+)
+
+_SYN_TAG = {
+    "oio:hasExactSynonym": "oboInOwl:hasExactSynonym",
+    "oio:hasRelatedSynonym": "oboInOwl:hasRelatedSynonym",
+    "oio:hasBroadSynonym": "oboInOwl:hasBroadSynonym",
+}
+
+
+def uncurie(c: str) -> str:
+    if c.startswith("obo:"):
+        return OBO_BASE + c[4:]
+    if c.startswith("owl:"):
+        return "http://www.w3.org/2002/07/owl#" + c[4:]
+    if re.match(r"^[A-Za-z]+:[A-Za-z0-9]+$", c):
+        return OBO_BASE + c.replace(":", "_", 1)
+    return c
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace('"', "&quot;")
+    )
+
+
+def render_owl_xml(rows: list[dict], onto_name: str) -> str:
+    """Statements rows (one ontology) -> RDF/XML. Inverse of
+    parse_owl_xml for the statement subset the fixture uses."""
+    by_subject: dict[str, list[dict]] = {}
+    bn_rows: dict[str, list[dict]] = {}
+    for r in rows:
+        if r["subject"].startswith("_:"):
+            bn_rows.setdefault(r["subject"], []).append(r)
+        else:
+            by_subject.setdefault(r["subject"], []).append(r)
+
+    out = [f'<?xml version="1.0"?>\n<rdf:RDF {_NS_DECL}>']
+    out.append(
+        f'  <owl:Ontology rdf:about="{OBO_BASE}{onto_name.lower()}.owl"/>'
+    )
+    for subject in sorted(by_subject):
+        srows = by_subject[subject]
+        if not any(r["predicate"] == "rdf:type" and r["object"] == "owl:Class" for r in srows):
+            continue
+        out.append(f'  <owl:Class rdf:about="{uncurie(subject)}">')
+        for r in srows:
+            p, o, v, lang = r["predicate"], r["object"], r["value"], r["language"]
+            if p == "rdfs:label":
+                la = f' xml:lang="{lang}"' if lang else ""
+                out.append(f"    <rdfs:label{la}>{_esc(v)}</rdfs:label>")
+            elif p in _SYN_TAG:
+                la = f' xml:lang="{lang}"' if lang else ""
+                t = _SYN_TAG[p]
+                out.append(f"    <{t}{la}>{_esc(v)}</{t}>")
+            elif p == "rdfs:isDefinedBy":
+                out.append(f'    <rdfs:isDefinedBy rdf:resource="{uncurie(o)}"/>')
+            elif p == "owl:equivalentClass":
+                out.append(f'    <owl:equivalentClass rdf:resource="{uncurie(o)}"/>')
+            elif p == "rdfs:subClassOf" and o and not o.startswith("_:"):
+                out.append(f'    <rdfs:subClassOf rdf:resource="{uncurie(o)}"/>')
+            elif p == "rdfs:subClassOf" and o and o.startswith("_:"):
+                parts = {rr["predicate"]: rr["object"] for rr in bn_rows.get(o, [])}
+                out.append("    <rdfs:subClassOf>")
+                out.append("      <owl:Restriction>")
+                if "owl:onProperty" in parts:
+                    out.append(
+                        f'        <owl:onProperty rdf:resource="{uncurie(parts["owl:onProperty"])}"/>'
+                    )
+                if "owl:someValuesFrom" in parts:
+                    out.append(
+                        f'        <owl:someValuesFrom rdf:resource="{uncurie(parts["owl:someValuesFrom"])}"/>'
+                    )
+                out.append("      </owl:Restriction>")
+                out.append("    </rdfs:subClassOf>")
+        out.append("  </owl:Class>")
+    out.append("</rdf:RDF>")
+    return "\n".join(out)
+
+
+# --- functional syntax (reference analyze_non_core_ontologies.py:59-82) ----
+
+_FN_ONTOLOGY = re.compile(r"Ontology\(<([^>]+)>")
+_FN_IMPORT = re.compile(r"Import\(<([^>]+)>\)")
+_FN_DECL = re.compile(r"Declaration\(Class\(<([^>]+)>\)\)")
+_FN_SUBCLASS = re.compile(r"SubClassOf\(<([^>]+)> <([^>]+)>\)")
+
+
+def is_functional_syntax(content: str) -> bool:
+    """Reference sniff: 'Prefix(' within the first 1000 chars
+    (analyze_non_core_ontologies.py:43)."""
+    return "Prefix(" in content[:1000]
+
+
+def parse_functional_syntax(content: str, source_name: str) -> list[dict]:
+    rows: list[dict] = []
+    m = _FN_ONTOLOGY.search(content)
+    onto = curie(m.group(1)) if m else source_name
+
+    def stmt(subject, predicate, obj):
+        rows.append(
+            dict(stanza=subject, subject=subject, predicate=predicate,
+                 object=obj, value=None, datatype=None, language=None, graph=None)
+        )
+
+    stmt(onto, "rdf:type", "owl:Ontology")
+    for imp in _FN_IMPORT.findall(content):
+        stmt(onto, "owl:imports", curie(imp))
+    for decl in _FN_DECL.findall(content):
+        t = curie(decl)
+        stmt(t, "rdf:type", "owl:Class")
+    for s, o in _FN_SUBCLASS.findall(content):
+        stmt(curie(s), "rdfs:subClassOf", curie(o))
+    return rows
+
+
+def parse_document(content: str, source_name: str) -> list[dict]:
+    if is_functional_syntax(content):
+        return parse_functional_syntax(content, source_name)
+    return parse_owl_xml(content, source_name)
+
+
+def owl_documents_to_statements(docs: DataFrame) -> DataFrame:
+    """docs(path string, content binary|string) -> statements DataFrame.
+
+    Distributed parse (one document per row; gzip-transparent). The
+    extension filter keeps .owl/.ofn/.obo (merge_ontologies.py:63-67)
+    and the reference's blacklist is dropped (enhanced_download.py:169).
+    """
+    from pyspark.sql import functions as F
+
+    src = docs.where(
+        F.col("path").rlike(r"\.(owl|ofn|obo)(\.gz)?$")
+        & ~F.element_at(F.split(F.col("path"), "/"), -1).isin(*BLACKLIST_FILES)
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        cols = ["stanza", "subject", "predicate", "object", "value", "datatype", "language", "graph"]
+        for pdf in batches:
+            out: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if isinstance(content, (bytes, bytearray)) else str(content).encode()
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                name = path.rsplit("/", 1)[-1].split(".")[0]
+                out.extend(parse_document(raw.decode("utf-8", "replace"), name))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return src.select("path", "content").mapInPandas(_run, STATEMENTS_SCHEMA)

@@ -1,0 +1,163 @@
+"""OWL ingestion: RDF/XML + functional syntax -> statements, ROBOT-merge
+semantics, and the full OWL -> KG path against the closure oracle."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from kbase_cdm_ontologies_spark.operators.merge import (
+    merge_ontologies,
+    pseudo_base,
+    remove_axioms,
+)
+from kbase_cdm_ontologies_spark.sources.owl import (
+    curie,
+    owl_documents_to_statements,
+    parse_functional_syntax,
+    parse_owl_xml,
+    render_owl_xml,
+    uncurie,
+)
+
+_STMT_COLS = ["stanza", "subject", "predicate", "object", "value", "datatype", "language", "graph"]
+
+
+def _onto_rows(corpus, onto):
+    return [s for s in corpus.statements if s["stanza"].startswith(onto)]
+
+
+def _named_triples(rows):
+    """Comparable view: non-blank-node rows minus per-parser details."""
+    return {
+        (r["subject"], r["predicate"], r["object"], r["value"], r["language"])
+        for r in rows
+        if not r["subject"].startswith("_:")
+        and not (r["object"] or "").startswith("_:")  # bn refs compared via _restrictions
+        and r["predicate"] not in ("rdfs:isDefinedBy",)
+    }
+
+
+def _restrictions(rows):
+    by_bn = {}
+    for r in rows:
+        if r["subject"].startswith("_:"):
+            by_bn.setdefault((r["stanza"], r["subject"]), {})[r["predicate"]] = r["object"]
+    return {
+        (stanza, d.get("owl:onProperty"), d.get("owl:someValuesFrom"))
+        for (stanza, _bn), d in by_bn.items()
+    }
+
+
+def test_curie_roundtrip():
+    for c in ["AAA:0000001", "BFO:0000050", "owl:Class", "obo:aaa.owl"]:
+        assert curie(uncurie(c)) == c
+
+
+def test_render_parse_roundtrip(corpus):
+    for onto in ("AAA", "BBB", "CCC"):
+        rows = _onto_rows(corpus, onto)
+        parsed = parse_owl_xml(render_owl_xml(rows, onto), onto)
+        assert _named_triples(parsed) >= _named_triples(
+            [r for r in rows if r["predicate"] != "rdfs:isDefinedBy"]
+        ) - {(s, p, o, v, la) for (s, p, o, v, la) in _named_triples(rows) if p == "rdf:type" and o == "owl:Ontology"}
+        assert _restrictions(parsed) == _restrictions(rows)
+
+
+def test_distributed_ingest_and_merge(spark, corpus):
+    docs = []
+    for onto in ("AAA", "BBB", "CCC"):
+        xml = render_owl_xml(_onto_rows(corpus, onto), onto)
+        content = xml.encode()
+        if onto == "BBB":
+            content = gzip.compress(content)  # gzip-transparent path
+            docs.append((f"/onto/{onto.lower()}.owl.gz", content))
+        else:
+            docs.append((f"/onto/{onto.lower()}.owl", content))
+    docs.append(("/onto/cp.owl", b"<bad/>"))  # blacklisted
+    docs.append(("/onto/readme.txt", b"not an ontology"))  # wrong extension
+    df = spark.createDataFrame(docs, "path string, content binary")
+    stmts = owl_documents_to_statements(df).cache()
+
+    # only the 3 real ontologies parsed
+    ontos = {
+        r["o"]
+        for r in stmts.where("predicate = 'rdf:type' AND object = 'owl:Ontology'")
+        .select(F.col("subject").alias("o"))
+        .collect()
+    }
+    assert ontos == {"obo:aaa.owl", "obo:bbb.owl", "obo:ccc.owl"}
+
+    per_source = {
+        onto: stmts.where(
+            F.col("stanza").startswith(onto) | F.col("stanza").startswith(f"obo:{onto.lower()}")
+        )
+        for onto in ("AAA", "BBB", "CCC")
+    }
+    merged = merge_ontologies(per_source)
+    # every named class triple of the fixture survives the merge
+    got = _named_triples([r.asDict() for r in merged.collect()])
+    want = _named_triples(
+        [r for r in corpus.statements if r["subject"] != "owl:Nothing" and not r["subject"].startswith("_:")]
+    )
+    missing = {w for w in want if w not in got and w[1] != "rdf:type"}
+    assert not missing, sorted(missing)[:5]
+
+
+def test_owl_path_reaches_oracle_closure(spark, corpus):
+    """Full parity path: OWL files -> parse -> merge -> canonicalize ->
+    entail == the plain-Python closure oracle."""
+    docs = [
+        (f"/onto/{o.lower()}.owl", render_owl_xml(_onto_rows(corpus, o), o).encode())
+        for o in ("AAA", "BBB", "CCC")
+    ]
+    stmts = owl_documents_to_statements(
+        spark.createDataFrame(docs, "path string, content binary")
+    )
+    from kbase_cdm_ontologies_spark.operators.canonicalize import (
+        apply_canonical,
+        canonical_map,
+    )
+    from kbase_cdm_ontologies_spark.operators.closure import entail
+    from kbase_cdm_ontologies_spark.plans.pipeline import class_node_ids
+    from kbase_cdm_ontologies_spark.sources.corpus import _closure_oracle
+
+    cmap = canonical_map(stmts)
+    canon = apply_canonical(stmts, cmap, ["subject", "object"])
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in entail(canon, class_node_ids(canon)).collect()
+    }
+    assert got == _closure_oracle(corpus)
+
+
+def test_functional_syntax_parse():
+    doc = """Prefix(:=<http://purl.obolibrary.org/obo/zzz.owl#>)
+Ontology(<http://purl.obolibrary.org/obo/zzz.owl>
+Import(<http://purl.obolibrary.org/obo/aaa.owl>)
+Declaration(Class(<http://purl.obolibrary.org/obo/ZZZ_0000001>))
+Declaration(Class(<http://purl.obolibrary.org/obo/ZZZ_0000002>))
+SubClassOf(<http://purl.obolibrary.org/obo/ZZZ_0000002> <http://purl.obolibrary.org/obo/ZZZ_0000001>)
+)"""
+    rows = parse_functional_syntax(doc, "zzz")
+    trip = {(r["subject"], r["predicate"], r["object"]) for r in rows}
+    assert ("obo:zzz.owl", "owl:imports", "obo:aaa.owl") in trip
+    assert ("ZZZ:0000001", "rdf:type", "owl:Class") in trip
+    assert ("ZZZ:0000002", "rdfs:subClassOf", "ZZZ:0000001") in trip
+
+
+def test_remove_axioms_and_pseudo_base(spark):
+    rows = [
+        ("A:1", "A:1", "rdfs:subClassOf", "A:2", None, None, None, None),
+        ("A:1", "A:1", "owl:disjointWith", "B:1", None, None, None, None),
+        ("owl:Nothing", "owl:Nothing", "rdfs:subClassOf", "A:1", None, None, None, None),
+        ("B:1", "B:1", "rdfs:subClassOf", "A:1", None, None, None, None),
+        ("A:3", "A:3", "rdfs:subClassOf", "_:b1", None, None, None, None),
+        ("A:3", "_:b1", "owl:onProperty", "RO:1", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in _STMT_COLS))
+    cleaned = {(r["subject"], r["predicate"]) for r in remove_axioms(df).collect()}
+    assert ("A:1", "owl:disjointWith") not in cleaned
+    assert ("owl:Nothing", "rdfs:subClassOf") not in cleaned
+    base = {(r["subject"], r["predicate"]) for r in pseudo_base(df, "A").collect()}
+    assert ("B:1", "rdfs:subClassOf") not in base
+    assert ("_:b1", "owl:onProperty") in base  # owned blank node kept
