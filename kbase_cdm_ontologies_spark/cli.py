@@ -88,19 +88,20 @@ def main(argv: list[str] | None = None) -> int:
         F.col("c").alias("filler"),
         F.col("a").alias("id"),
     )
-    export_report = export_tables(
+    from .operators.semsql_views import semsql_tables
+
+    tables = semsql_tables(
+        spark, stmts, out["edges"], out["alias"], prefix, owl_restriction
+    )
+    tables.update(
         {
             "edges": out["edges"],
             "nodes": out["nodes"],
-            "statements": stmts,
             "mentions": out["mentions"],
             "linked_triples": out["linked"],
-            "rdf_level_summary_statistic": predicate_stats(stmts),
-            "prefix": prefix,
-            "owl_restriction": owl_restriction,
-        },
-        args.out,
+        }
     )
+    export_report = export_tables(tables, args.out)
     # sorted term-list sink (core_onto_unique_external_terms.tsv analog)
     sorted_text_sink(out["nodes"], "id", f"{args.out}/term_list")
     wall = time.time() - t0
