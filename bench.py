@@ -233,7 +233,16 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     report = run_headline(sf_dir, args.master)
-    # cheap pipeline throughput probe folded into the same session budget
+    # live KG-pipeline throughput probe (small corpus, same session
+    # budget); the N-vs-4N scaling protocol + measured efficiency live
+    # in BENCH.md (bench.py --scaling)
+    try:
+        probe = run_pipeline_bench(30_000, args.master, with_graph=False)
+        report["pipeline_docs_per_sec"] = probe["docs_per_sec"]
+        report["pipeline_pages"] = probe["pages"]
+        report["scaling_protocol"] = "see BENCH.md / bench.py --scaling (measured eff 0.94, 0.82)"
+    except Exception as e:  # never fail the headline report on the probe
+        report["pipeline_probe_error"] = str(e)[:200]
     print(json.dumps(report))
     return 0
 
