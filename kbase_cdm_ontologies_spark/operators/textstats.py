@@ -38,9 +38,9 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ws_tokens = F.split(F.trim(t), r"\s+")
     return df.select(
         F.col(id_col).alias("id"),
-        F.length(t).alias("n_chars"),
-        F.when(F.trim(t) == "", 0).otherwise(F.size(ws_tokens)).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.when(F.trim(t) == "", 0).otherwise(F.size(ws_tokens)).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_bpe_tokens"),
         F.round(
             F.when(F.trim(t) == "", 0.0).otherwise(
                 F.aggregate(
@@ -77,7 +77,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col).alias("id"),
-        n_chars.alias("n_chars"),
+        n_chars.cast("long").alias("n_chars"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         upper_ratio.alias("upper_ratio"),

@@ -175,7 +175,7 @@ def top_suppliers_per_nation(spark, sf_dir):
     )
     w = Window.partitionBy("nation").orderBy(F.desc("_rev"), F.asc("s_suppkey"))
     return (
-        per.withColumn("rnk", F.row_number().over(w))
+        per.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("nation", "s_suppkey", F.round("_rev", 2).alias("revenue"), "rnk")
     )
@@ -213,11 +213,11 @@ def parts_ordered_semi(spark, sf_dir):
     "order_priority_matrix",
     """
     SELECT o_orderstatus,
-           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS notspec,
-           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -298,7 +298,7 @@ def events_running_total(spark, sf_dir):
         F.round(
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_value"),
-        F.row_number().over(w).alias("seq"),
+        F.row_number().over(w).cast("long").alias("seq"),
     )
 
 
@@ -313,7 +313,8 @@ def events_running_total(spark, sf_dir):
              THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )
@@ -348,7 +349,7 @@ def events_top_users_per_type(spark, sf_dir):
     per = e.groupBy("event_type", "user_id").agg(F.sum("value").alias("_tot"))
     w = Window.partitionBy("event_type").orderBy(F.desc("_tot"), F.asc("user_id"))
     return (
-        per.withColumn("rnk", F.row_number().over(w))
+        per.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("event_type", "user_id", F.round("_tot", 2).alias("total"), "rnk")
     )
