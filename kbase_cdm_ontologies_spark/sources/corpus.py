@@ -92,7 +92,13 @@ def _build_ontology(c: Corpus, rng: random.Random) -> dict[str, list[str]]:
     """Statements + alias dict; returns term_id -> [aliases] map."""
     combos = [f"{a} {n}" for a in _ADJ for n in _NOUN]
     rng.shuffle(combos)
-    pool = iter(combos)
+    # overflow pool for large n_terms (appended AFTER the shuffle so
+    # small-fixture content is independent of pool size)
+    combos3 = [
+        f"{a} {b} {n}" for a in _ADJ for b in _ADJ if a != b for n in _NOUN
+    ]
+    rng.shuffle(combos3)
+    pool = iter(combos + combos3)
 
     aliases: dict[str, list[str]] = {}
     nterm = c.spec.n_terms
