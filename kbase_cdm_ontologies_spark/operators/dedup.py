@@ -177,6 +177,40 @@ def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold, id_a < id_b.
+
+    Exact all-pairs variant (the correctness baseline the LSH path in
+    operators/similarity.py is measured against): norms are
+    precomputed once, the self-join is a range-predicate nested-loop —
+    viable to ~10^5 vectors per group. The scale path buckets with
+    similarity.lsh_bucket first and runs this within buckets."""
+    from .similarity import _dot, _norm  # shared JVM-side expressions
+
+    v = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 5).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over the token set, built from the first 16 hex
     chars of md5(token). Bitwise majority vote expressed with built-in

@@ -763,6 +763,28 @@ def dedup_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v
+      WHERE list_dot_product(v, v) > 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
 @q("dedup_simhash")  # no SQL oracle: bit-level simhash (rows-only check)
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(_duped_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
