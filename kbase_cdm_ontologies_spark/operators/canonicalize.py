@@ -31,42 +31,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _symmetrize(e: DataFrame) -> DataFrame:
-    return (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .where(F.col("u") != F.col("v"))
-        .dropDuplicates()
-    )
+def _round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round over an ORIENTED (u > v),
+    duplicate-free edge set; returns the same invariant.
 
-
-def _large_star(e: DataFrame) -> DataFrame:
-    sym = _symmetrize(e)
+    Orientation invariants save shuffles: the symmetrized view needs no
+    dedup (an oriented set can't contain both directions), large-star's
+    output rows already satisfy u > v (v_old > u_old >= m), so
+    small-star skips its re-orientation pass. One dedup at the end of
+    the round restores the invariant."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select("u", F.least("mv", "u").alias("m"))
     )
-    return (
+    ls = (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .dropDuplicates()
-    )
-
-
-def _small_star(e: DataFrame) -> DataFrame:
-    o = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .dropDuplicates()
-    )
-    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    )  # oriented u > v by construction; may carry dupes (cleaned below)
+    o = ls.where(F.col("u") != F.col("v"))
+    mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
     nbr = (
-        o.join(mins, "u")
+        o.join(mins2, "u")
         .where(F.col("v") != F.col("m"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    selfe = mins.select("u", F.col("m").alias("v"))
+    selfe = mins2.select("u", F.col("m").alias("v"))
     return nbr.unionByName(selfe).dropDuplicates()
 
 
@@ -94,7 +86,7 @@ def connected_components(
     converged = False
     n_prev = e.count()
     for _ in range(max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = _round(e).localCheckpoint()
         n_new = e2.count()
         # cheap count check first; only when counts agree pay for the
         # set-equality check (one anti-join suffices at equal counts)
