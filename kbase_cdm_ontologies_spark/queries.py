@@ -603,6 +603,78 @@ def events_json_props(spark, sf_dir):
 
 
 @q(
+    "events_props_map",
+    """
+    SELECT event_type, prop_key,
+           CAST(sum(CAST(json_extract_string(props, '$.' || prop_key) AS INT)) AS BIGINT) AS total,
+           count(*) AS n
+    FROM (SELECT event_type, props, unnest(json_keys(props)) AS prop_key
+          FROM events)
+    GROUP BY event_type, prop_key
+    """,
+)
+def events_props_map(spark, sf_dir):
+    """map-typed column path: parse props into map<string,int>,
+    explode, aggregate per (event_type, key)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        e.select("event_type", F.explode(m).alias("prop_key", "val"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.sum("val").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "price_quantiles_exact",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                          THEN v END), 2) AS p50,
+           round(max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                          THEN v END), 2) AS p90
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def price_quantiles_exact(spark, sf_dir):
+    """Discrete quantiles (element at floor(q*(n-1))) — deterministic
+    across engines, unlike interpolated medians whose midpoint
+    arithmetic lands on rounding boundaries."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def pick(q):
+        return F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor(q * (F.col("n") - 1)).cast("long") + 1,
+                    F.col("v"),
+                )
+            ),
+            2,
+        )
+    return r.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90")
+    )
+
+
+@q(
     "building_customers_with_orders_intersect",
     """
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
