@@ -70,9 +70,38 @@ class AhoCorasick:
 
 _WORDCH = set("abcdefghijklmnopqrstuvwxyz0123456789")
 
+try:  # optional C implementation (same automaton semantics) — not in
+    # this container's image; exercised wherever the wheel is present
+    import ahocorasick as _c_aho  # type: ignore
+except ImportError:
+    _c_aho = None
+
+
+class CAhoCorasick:
+    """pyahocorasick-backed drop-in (find() contract identical)."""
+
+    def __init__(self, patterns: list[str]):
+        self._a = _c_aho.Automaton()
+        for idx, pat in enumerate(patterns):
+            self._a.add_word(pat, (idx, len(pat)))
+        self._a.make_automaton()
+
+    def find(self, text: str, pattern_lens: list[int]) -> list[tuple[int, int]]:
+        return [
+            (idx, end - plen + 1) for end, (idx, plen) in self._a.iter(text)
+        ]
+
+
+def build_automaton(patterns: list[str]):
+    """Fastest available automaton: C extension when installed, the
+    pure-Python trie otherwise."""
+    if _c_aho is not None:
+        return CAhoCorasick(patterns)
+    return AhoCorasick(patterns)
+
 
 def find_word_bounded(
-    ac: AhoCorasick, text_norm: str, patterns: list[str], pattern_lens: list[int]
+    ac, text_norm: str, patterns: list[str], pattern_lens: list[int]
 ) -> list[tuple[int, int]]:
     """Occurrences of patterns in casefolded text, whole-word only."""
     hits = []

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.aho import AhoCorasick, find_word_bounded
+from ..functions.aho import build_automaton, find_word_bounded
 from ..functions.text_rules import extract_svo, extract_text, normalize_surface
 
 _CACHE: dict[str, tuple] = {}
@@ -42,7 +42,7 @@ def _automaton(bcast, key):
     cached = _CACHE.get(key)
     if cached is None:
         patterns, pattern_terms = bcast.value
-        ac = AhoCorasick(patterns)
+        ac = build_automaton(patterns)
         cached = (ac, patterns, [len(p) for p in patterns], pattern_terms)
         _CACHE.clear()
         _CACHE[key] = cached

@@ -19,7 +19,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.aho import AhoCorasick, find_word_bounded
+from ..functions.aho import build_automaton, find_word_bounded
 from ..functions.text_rules import normalize_surface
 
 _AUTOMATON_CACHE: dict[str, tuple] = {}
@@ -31,7 +31,7 @@ def _get_automaton(bcast, key: str):
     cached = _AUTOMATON_CACHE.get(key)
     if cached is None:
         patterns, pattern_terms = bcast.value
-        ac = AhoCorasick(patterns)
+        ac = build_automaton(patterns)
         lens = [len(p) for p in patterns]
         cached = (ac, patterns, lens, pattern_terms)
         _AUTOMATON_CACHE.clear()  # one dictionary version live per worker

@@ -98,6 +98,21 @@ class CheckpointManager:
         self.stages_run.append(name)
         return materialized
 
+    def metrics_df(self) -> "DataFrame":
+        """Per-partition lineage metrics as a queryable DataFrame:
+        (stage, partition_id, rows, code_hash, inputs_fingerprint)."""
+        rows = []
+        for stage, e in sorted(self.manifest.items()):
+            for pid, n in e.get("partition_rows", {}).items():
+                rows.append(
+                    (stage, int(pid), int(n), e["code_hash"], e["inputs_fingerprint"])
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "stage string, partition_id int, rows long, code_hash string, "
+            "inputs_fingerprint string",
+        )
+
     def fingerprint_of(self, *stage_names: str) -> str:
         """Chain fingerprints: a stage's input fingerprint is derived
         from its upstream manifest entries (lineage)."""

@@ -68,6 +68,14 @@ def test_checkpoint_resume(spark, corpus, corpus_dfs, tmp_path):
     assert m["row_count"] == len(edges1)
     assert sum(m["partition_rows"].values()) == m["row_count"]
 
+    # per-partition lineage is queryable (north rule: lineage + metrics)
+    mdf = ck1.metrics_df()
+    assert mdf.where("stage = 'm7_edges'").count() >= 1
+    assert (
+        mdf.where("stage = 'm7_edges'").groupBy().sum("rows").collect()[0][0]
+        == len(edges1)
+    )
+
     # resume: everything skipped, identical result
     out2 = run_pipeline(
         spark, corpus_dfs["pages"], corpus_dfs["statements"],
