@@ -6,7 +6,15 @@ triple set (we target exact 1.0), plus checkpoint/resume semantics
 
 import shutil
 
+import pytest
+
 from kbase_cdm_ontologies_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, corpus_dfs):
+    """One in-memory pipeline run shared by the assertion tests."""
+    return run_pipeline(spark, corpus_dfs["pages"], corpus_dfs["statements"])
 
 
 def _edge_set(df):
@@ -22,8 +30,8 @@ def _precision_recall(got: set, want: set) -> tuple[float, float]:
     return tp / len(got), tp / len(want)
 
 
-def test_e2e_precision_recall(spark, corpus, corpus_dfs):
-    out = run_pipeline(spark, corpus_dfs["pages"], corpus_dfs["statements"])
+def test_e2e_precision_recall(spark, corpus, pipeline_out):
+    out = pipeline_out
     got = _edge_set(out["edges"])
     p, r = _precision_recall(got, corpus.expected_edges)
     assert p >= 0.95 and r >= 0.95, (
@@ -35,8 +43,8 @@ def test_e2e_precision_recall(spark, corpus, corpus_dfs):
     assert p == 1.0 and r == 1.0
 
 
-def test_linked_triples_match_oracle(spark, corpus, corpus_dfs):
-    out = run_pipeline(spark, corpus_dfs["pages"], corpus_dfs["statements"])
+def test_linked_triples_match_oracle(spark, corpus, pipeline_out):
+    out = pipeline_out
     got = {
         (r["url"], r["subj_id"], r["pred"], r["obj_id"])
         for r in out["linked"].collect()
@@ -44,9 +52,8 @@ def test_linked_triples_match_oracle(spark, corpus, corpus_dfs):
     assert got == corpus.expected_linked
 
 
-def test_nodes_table(spark, corpus, corpus_dfs):
-    out = run_pipeline(spark, corpus_dfs["pages"], corpus_dfs["statements"])
-    nodes = {r["id"]: r for r in out["nodes"].collect()}
+def test_nodes_table(spark, corpus, pipeline_out):
+    nodes = {r["id"]: r for r in pipeline_out["nodes"].collect()}
     # only canonical ids appear
     assert all(corpus.expected_canon[i] == i for i in nodes)
     # merged term's synonyms folded into canonical node
