@@ -30,6 +30,7 @@ LOGIC_PREDICATES = (
     "owl:equivalentClass",
     "owl:onProperty",
     "owl:someValuesFrom",
+    "rdf:type",
 )
 
 
@@ -147,8 +148,28 @@ def entail(
             F.col("d").alias("object"),
         )
     )
+    # individuals: x rdf:type C, C ⊑ D  ⟹  x rdf:type D
+    # (relation-graph --output-individuals true, workflow.ipynb:1638);
+    # rdf:type rows whose object is a named class — owl:Class /
+    # owl:NamedIndividual meta-rows drop out via the class_nodes semi-join
+    type_asserts = (
+        pruned.where(
+            (F.col("predicate") == "rdf:type") & ~F.col("subject").startswith("_:")
+        )
+        .select(F.col("subject").alias("ind"), F.col("object").alias("cls"))
+        .join(class_nodes.select(F.col("id").alias("cls")), "cls", "left_semi")
+    )
+    ind_out = (
+        type_asserts.join(rtc.select(F.col("s").alias("cls"), "o"), "cls")
+        .select(
+            F.col("ind").alias("subject"),
+            F.lit("rdf:type").alias("predicate"),
+            F.col("o").alias("object"),
+        )
+    )
     return (
         sub_out.unionByName(prop_out)
+        .unionByName(ind_out)
         .where((F.col("subject") != "owl:Nothing") & (F.col("object") != "owl:Nothing"))
         .dropDuplicates()
     )

@@ -78,6 +78,7 @@ class Corpus:
     subclass_edges: list[tuple[str, str]] = field(default_factory=list)
     equiv_pairs: list[tuple[str, str]] = field(default_factory=list)
     restrictions: list[tuple[str, str, str]] = field(default_factory=list)  # (a, prop, c)
+    individuals: list[tuple[str, str]] = field(default_factory=list)  # (ind, class)
     expected_canon: dict[str, str] = field(default_factory=dict)
     expected_mentions: set[tuple[str, str]] = field(default_factory=set)  # (url, term_id) unambiguous only
     expected_linked: set[tuple[str, str, str, str]] = field(default_factory=set)  # (url, s, p, o)
@@ -174,6 +175,19 @@ def _build_ontology(c: Corpus, rng: random.Random) -> dict[str, list[str]]:
         c.statements.append(_stmt(a, bn, "owl:someValuesFrom", obj=cc))
         c.restrictions.append((a, p, cc))
 
+    # individuals with rdf:type assertions (relation-graph runs with
+    # --output-individuals true, workflow.ipynb:1638): each entails
+    # type edges up the class hierarchy
+    ind_specs = [
+        (f"{onto}:IND{k:04d}", term_id(onto, 6 + k))
+        for onto in ONTOLOGIES
+        for k in range(2)
+    ]
+    for ind, cls in ind_specs:
+        c.statements.append(_stmt(ind, ind, "rdf:type", obj="owl:NamedIndividual"))
+        c.statements.append(_stmt(ind, ind, "rdf:type", obj=cls))
+        c.individuals.append((ind, cls))
+
     # owl:Nothing noise — must be excluded everywhere
     # (reference: robot remove --term owl:Nothing, merge_ontologies.py:108-111)
     c.statements.append(_stmt("owl:Nothing", "owl:Nothing", "rdfs:subClassOf", obj=term_id("AAA", 0)))
@@ -259,6 +273,12 @@ def _closure_oracle(c: Corpus) -> set[tuple[str, str, str]]:
         for x in subs.get(ca, {ca}):
             for d in supers.get(ccc, {ccc}):
                 edges.add((x, p, d))
+    # individuals: (ind, rdf:type, D) for every D above the asserted
+    # class (--output-individuals true semantics)
+    for ind, cls in c.individuals:
+        ccls = canon.get(cls, cls)
+        for d in supers.get(ccls, {ccls}):
+            edges.add((ind, "rdf:type", d))
     return edges
 
 

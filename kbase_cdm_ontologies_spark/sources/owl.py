@@ -124,6 +124,17 @@ def parse_owl_xml(content: str, source_name: str) -> list[dict]:
                     stmt(term, bn, "owl:onProperty", obj=curie(_resource(on_p) or ""))
                 if some is not None:
                     stmt(term, bn, "owl:someValuesFrom", obj=curie(_resource(some) or ""))
+
+    for ind in root.findall(f"{OWL}NamedIndividual"):
+        about = ind.get(f"{RDF}about")
+        if not about:
+            continue
+        term = curie(about)
+        stmt(term, term, "rdf:type", obj="owl:NamedIndividual")
+        for t in ind.findall(f"{RDF}type"):
+            res = _resource(t)
+            if res:
+                stmt(term, term, "rdf:type", obj=curie(res))
     return rows
 
 
@@ -210,6 +221,20 @@ def render_owl_xml(rows: list[dict], onto_name: str) -> str:
                 out.append("      </owl:Restriction>")
                 out.append("    </rdfs:subClassOf>")
         out.append("  </owl:Class>")
+    for subject in sorted(by_subject):
+        srows = by_subject[subject]
+        if not any(
+            r["predicate"] == "rdf:type" and r["object"] == "owl:NamedIndividual"
+            for r in srows
+        ):
+            continue
+        out.append(f'  <owl:NamedIndividual rdf:about="{uncurie(subject)}">')
+        for r in srows:
+            if r["predicate"] == "rdf:type" and r["object"] not in (
+                "owl:NamedIndividual",
+            ):
+                out.append(f'    <rdf:type rdf:resource="{uncurie(r["object"])}"/>')
+        out.append("  </owl:NamedIndividual>")
     out.append("</rdf:RDF>")
     return "\n".join(out)
 
