@@ -36,7 +36,24 @@ def main(argv: list[str] | None = None) -> int:
              "the synthetic ontology fixture (reference drop-in path; "
              "P/R vs the fixture oracle is skipped)",
     )
+    met = sub.add_parser("metrics", help="print per-partition lineage metrics of a run")
+    met.add_argument("--out", required=True, help="checkpoint directory of a prior run")
+    met.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+
+    if args.cmd == "metrics":
+        from .plans.checkpoint import CheckpointManager
+        from .session import get_spark
+
+        spark = get_spark(app_name="kg-metrics", master=args.master)
+        ck = CheckpointManager(spark, args.out)
+        rows = ck.metrics_df().orderBy("stage", "partition_id").collect()
+        for r in rows:
+            print(json.dumps({
+                "stage": r["stage"], "partition_id": r["partition_id"],
+                "rows": r["rows"], "code_hash": r["code_hash"][:12],
+            }))
+        return 0
 
     from .plans.pipeline import run_pipeline
     from .session import get_spark
