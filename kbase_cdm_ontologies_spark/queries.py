@@ -603,6 +603,112 @@ def events_json_props(spark, sf_dir):
 
 
 @q(
+    "asof_latest_order",
+    """
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             round(max_by(o_totalprice, o_orderkey), 2) AS o_totalprice
+      FROM (SELECT o_orderkey, o_orderdate, o_totalprice,
+                   o_custkey % 15 AS user_id FROM orders)
+      GROUP BY user_id, o_orderdate
+    ) o
+      ON e.user_id = o.user_id AND o.o_orderdate <= e.ts
+    """,
+)
+def asof_latest_order(spark, sf_dir):
+    """As-of join (Spark lacks a native one — composed from equi-join +
+    window in operators/asof.py) vs DuckDB's native ASOF JOIN.
+
+    Note: ASOF tie-breaking at equal timestamps is arbitrary in both
+    engines, so the right side is first deduped to one row per
+    (user_id, o_orderdate) — identically in both — keeping the max
+    o_orderkey."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 15).alias("user_id"),
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+        )
+        .groupBy("user_id", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("o_totalprice"),
+        )
+    )
+    out = asof_join(e, o, "user_id", "ts", "o_orderdate")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+@q(
+    "events_range_window",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+             AS sum_last_hour
+    FROM events
+    """,
+)
+def events_range_window(spark, sf_dir):
+    """RANGE frame over event time (integer seconds in both engines):
+    rolling 1h sum per user."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "_epoch", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_epoch")
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
+
+
+@q(
+    "lineitem_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def lineitem_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+               coalesce(l_linestatus, '<all>') AS linestatus,
+               count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q(
     "events_props_map",
     """
     SELECT event_type, prop_key,
