@@ -603,6 +603,33 @@ def events_json_props(spark, sf_dir):
 
 
 @q(
+    "orders_unpivot",
+    """
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, priority, n FROM m
+    UNPIVOT (n FOR priority IN (urgent, low))
+    """,
+)
+def orders_unpivot(spark, sf_dir):
+    """Pivot then unpivot back to long form (stack on the Spark side,
+    UNPIVOT in DuckDB)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)).alias("low"),
+    )
+    return m.select(
+        "o_orderstatus",
+        F.expr("stack(2, 'urgent', urgent, 'low', low) AS (priority, n)"),
+    )
+
+
+@q(
     "asof_latest_order",
     """
     SELECT e.event_id, e.user_id,
