@@ -73,9 +73,13 @@ def run_headline(sf_dir: str, master: str | None) -> dict:
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan+JIT)
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min of 2: host noise inflates single shots
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_queries_total",
