@@ -102,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
     n_nodes = out["nodes"].count()
 
     # stages 1-2 analog: per-ontology analysis record (JSON sink)
-    from .operators.analysis import analyze_ontologies, predicate_stats
+    from .operators.analysis import analyze_ontologies
 
     analyze_ontologies(stmts).coalesce(1).write.mode("overwrite").json(
         f"{args.out}/analysis_json"

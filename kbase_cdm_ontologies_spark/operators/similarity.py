@@ -22,7 +22,7 @@ from __future__ import annotations
 import hashlib
 import struct
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -152,13 +152,12 @@ def ivf_index(
     ]
     withsims = emb.select("vec_id", "v", *sims)
     best = F.greatest(*[F.col(f"c{cid}") for cid, _ in cents])
-    cond = None
-    assigned = withsims.withColumn("_best", best)
     pick = F.lit(None).cast("int")
     for cid, _ in cents:
         pick = F.when(F.col(f"c{cid}") == F.col("_best"), F.lit(cid)).otherwise(pick)
-    assigned = assigned.select("vec_id", "v", pick.alias("centroid_id"))
-    _ = cond
+    assigned = withsims.withColumn("_best", best).select(
+        "vec_id", "v", pick.alias("centroid_id")
+    )
     return assigned, cents
 
 
