@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="kg-run-all", master=args.master)
     corpus = generate_corpus(CorpusSpec(seed=args.seed, n_pages=args.pages))
     pages, stmts, _ = corpus_to_spark(spark, corpus)
+    owl_digest = None
     if args.owl_dir:
         # reference drop-in: ontology statements come from real OWL
         # documents (distributed binaryFile scan -> parse -> robot-merge
@@ -81,6 +82,20 @@ def main(argv: list[str] | None = None) -> int:
             .load(args.owl_dir)
             .select("path", F2.col("content"))
         )
+        # resume contract: statement-derived stages must re-run when the
+        # OWL inputs change, so their content digest becomes part of the
+        # corpus fingerprint (reference version_tracker.py re-processes
+        # on checksum change). One distributed md5 pass over the same
+        # files the parser is about to read.
+        import hashlib
+
+        sig_rows = sorted(
+            (r["path"], r["h"])
+            for r in docs.select("path", F2.md5(F2.col("content")).alias("h")).collect()
+        )
+        owl_digest = hashlib.sha256(
+            "".join(f"{p}:{h};" for p, h in sig_rows).encode()
+        ).hexdigest()
         parsed = owl_documents_to_statements(docs)
         per_source = {
             r["src"]: parsed.where(F2.split(F2.col("stanza"), ":").getItem(0) == r["src"])
@@ -92,10 +107,13 @@ def main(argv: list[str] | None = None) -> int:
             if r["src"] not in ("obo", "_")
         }
         stmts = merge_ontologies(per_source) if per_source else parsed
+    fingerprint = f"seed={args.seed};pages={args.pages}"
+    if owl_digest is not None:
+        fingerprint += f";owl={owl_digest}"
     out = run_pipeline(
         spark, pages, stmts,
         checkpoint_dir=args.out,
-        corpus_fingerprint=f"seed={args.seed};pages={args.pages}",
+        corpus_fingerprint=fingerprint,
     )
     ck = out["checkpoints"]
     n_edges = out["edges"].count()

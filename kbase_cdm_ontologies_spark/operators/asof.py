@@ -26,8 +26,14 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     right_ts <= left_ts (direction='backward'; 'forward' = smallest
-    right_ts >= left_ts). Left rows with no match keep nulls."""
+    right_ts >= left_ts). Left rows with no match keep nulls.
+
+    Left cardinality is preserved exactly (pandas merge_asof / DuckDB
+    ASOF semantics): the dedup window partitions by a per-row id, not
+    by the left columns, so fully identical left rows each keep their
+    own match row."""
     lcols = list(left.columns)
+    l = left.withColumn("_lrow", F.monotonically_increasing_id())
     r = right.select(
         F.col(key).alias("_k"), *[c for c in right.columns if c != key]
     )
@@ -37,12 +43,12 @@ def asof_join(
     else:
         cond = F.col(right_ts) >= F.col(left_ts)
         order = F.asc(right_ts)
-    joined = left.join(r, (left[key] == r["_k"]) & cond, "left").drop("_k")
-    w = Window.partitionBy(*lcols).orderBy(order)
+    joined = l.join(r, (l[key] == r["_k"]) & cond, "left").drop("_k")
+    w = Window.partitionBy("_lrow").orderBy(order)
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_lrow")
     )
 
 
@@ -61,7 +67,10 @@ def asof_join_bucketed(
     unions the per-key running latest (one extra window over right)."""
     lb = F.floor(F.col(left_ts).cast("long") / bucket_seconds)
     rb = F.floor(F.col(right_ts).cast("long") / bucket_seconds)
-    l2 = left.withColumn("_lb", lb)
+    # per-row id (not the left columns) keys the dedup window and the
+    # unmatched anti-join, so identical left rows keep their cardinality
+    l2 = left.withColumn("_lrow", F.monotonically_increasing_id()).withColumn("_lb", lb)
+    l2 = l2.localCheckpoint(eager=False)  # pin the non-deterministic ids
     r2 = right.withColumnRenamed(key, "_k").withColumn("_rb", rb)
     cands = None
     for shift in (0, 1):
@@ -70,20 +79,19 @@ def asof_join_bucketed(
             (l2[key] == r2["_k"])
             & (r2["_rb"] == l2["_lb"] - shift)
             & (F.col(right_ts) <= F.col(left_ts)),
-            "inner" if shift == 0 else "inner",
+            "inner",
         )
         cands = c if cands is None else cands.unionByName(c)
-    lcols = list(left.columns)
-    w = Window.partitionBy(*lcols).orderBy(F.desc(right_ts))
+    w = Window.partitionBy("_lrow").orderBy(F.desc(right_ts))
     best = (
         cands.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "_lb", "_rb", "_k")
     )
     # left rows with no candidate in the two buckets -> null-extend
-    matched = best.select(*lcols).dropDuplicates()
-    unmatched = left.join(matched, lcols, "left_anti")
+    matched = best.select("_lrow")
+    unmatched = l2.drop("_lb").join(matched, "_lrow", "left_anti")
     for c in best.columns:
-        if c not in lcols:
+        if c not in unmatched.columns:
             unmatched = unmatched.withColumn(c, F.lit(None))
-    return best.unionByName(unmatched.select(*best.columns))
+    return best.unionByName(unmatched.select(*best.columns)).drop("_lrow")

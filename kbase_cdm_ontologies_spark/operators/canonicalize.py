@@ -75,26 +75,44 @@ def connected_components(
         pairs.select(F.col(src).alias("u"))
         .unionByName(pairs.select(F.col(dst).alias("u")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        """ONE job per round: (row count, order-independent content
+        hash). Running it over a lazy localCheckpoint also materializes
+        the checkpoint, so each round costs a single Spark action —
+        the loop is iteration-latency bound at small scale, so job
+        count per round is the wall-clock driver."""
+        row = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent, overflow-free under ANSI mode;
+            # the frame is duplicate-free so xor-cancellation can't hide
+            # paired rows
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
     converged = False
-    n_prev = e.count()
+    sig_prev = _sig(e)
     for _ in range(max_rounds):
-        e2 = _round(e).localCheckpoint()
-        n_new = e2.count()
-        # cheap count check first; only when counts agree pay for the
-        # set-equality check (one anti-join suffices at equal counts)
-        if n_new == n_prev and e2.exceptAll(e).limit(1).count() == 0:
+        e2 = _round(e).localCheckpoint(eager=False)
+        sig_new = _sig(e2)
+        # (count, hash) equality is the cheap per-round test; only a
+        # matching signature pays for the definitive set-equality check
+        # (one anti-join suffices at equal counts), i.e. only the
+        # terminal round costs extra jobs
+        if sig_new == sig_prev and e2.exceptAll(e).limit(1).count() == 0:
             e = e2
             converged = True
             break
-        e, n_prev = e2, n_new
+        e, sig_prev = e2, sig_new
     if not converged:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
     stars = e.groupBy("u").agg(F.min("v").alias("canonical"))
@@ -112,20 +130,32 @@ def canonical_map(statements: DataFrame) -> DataFrame:
     return connected_components(eq)
 
 
-def apply_canonical(df: DataFrame, cmap: DataFrame, cols: list[str]) -> DataFrame:
+def apply_canonical(
+    df: DataFrame,
+    cmap: DataFrame,
+    cols: list[str],
+    broadcast_max_rows: int | None = None,
+) -> DataFrame:
     """Rewrite id columns through the canonical map (identity when a
-    node never merged). cmap is dimension-sized -> broadcast joins; the
-    fact side is never shuffled."""
+    node never merged).
+
+    Size-aware join strategy: the map is broadcast only when it is
+    provably dimension-sized (ontology equivalence maps — thousands of
+    rows). A canonical map produced by web-entity linking can reach
+    billions of rows, where an unconditional broadcast OOMs the driver;
+    that case takes a plain shuffled left join and AQE picks the
+    physical strategy. Default threshold: skew.BROADCAST_MAX_ROWS."""
+    from .skew import BROADCAST_MAX_ROWS
+
+    if broadcast_max_rows is None:
+        broadcast_max_rows = BROADCAST_MAX_ROWS
+    # one count() decides the strategy for every column rewrite below
+    small = cmap.count() <= broadcast_max_rows
     out = df
     for c in cols:
+        m = cmap.select(F.col("id").alias(c), F.col("canonical").alias(f"_c_{c}"))
         out = (
-            out.join(
-                F.broadcast(
-                    cmap.select(F.col("id").alias(c), F.col("canonical").alias(f"_c_{c}"))
-                ),
-                c,
-                "left",
-            )
+            out.join(F.broadcast(m) if small else m, c, "left")
             .withColumn(c, F.coalesce(F.col(f"_c_{c}"), F.col(c)))
             .drop(f"_c_{c}")
         )

@@ -57,10 +57,13 @@ def transitive_closure(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("o"))
         .where(F.col("s") != F.col("o"))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # the closure set grows monotonically (union each round), so count
+    # equality IS set equality — one count per round, carried forward,
+    # and the count action doubles as the lazy checkpoint materializer
+    n_prev = c.count()
     for _ in range(max_rounds):
-        n_before = c.count()
         hop = (
             c.alias("a")
             .join(
@@ -73,10 +76,12 @@ def transitive_closure(
             c.unionByName(hop)
             .where(F.col("s") != F.col("o"))
             .dropDuplicates()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if c.count() == n_before:
+        n_new = c.count()
+        if n_new == n_prev:
             return c
+        n_prev = n_new
     raise RuntimeError(f"transitive_closure: no fixpoint in {max_rounds} doubling rounds")
 
 

@@ -168,7 +168,12 @@ def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     """Distinct (id, shingle) word n-grams — JVM-side via split +
     transform over index range (no Python)."""
     toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0) - 1))
+    # docs with < n tokens yield no shingles; the guard keeps sequence()
+    # from ever seeing a descending (0, -1) span, which would make
+    # slice() throw INVALID_PARAMETER_VALUE.START on short/empty docs
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))

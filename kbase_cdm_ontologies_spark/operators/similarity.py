@@ -190,8 +190,23 @@ def ivf_topk(
 
 # --- TF-IDF (sparse, join-based — the linking re-ranker) -------------------
 
-def tfidf_vectors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, w): tf * log((N+1)/(df+1)), L2-normalized per doc."""
+def tfidf_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_max_terms: int | None = None,
+) -> DataFrame:
+    """(id, term, w): tf * log((N+1)/(df+1)), L2-normalized per doc.
+
+    Size-aware df-join: the per-term document-frequency table is
+    vocabulary-sized — dictionary-scale for an ontology corpus but
+    unbounded for web text — so it is broadcast only when one counting
+    aggregate proves it small; otherwise it joins via shuffle on `term`
+    with AQE choosing the physical strategy."""
+    from .skew import BROADCAST_MAX_ROWS
+
+    if broadcast_max_terms is None:
+        broadcast_max_terms = BROADCAST_MAX_ROWS
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -202,7 +217,9 @@ def tfidf_vectors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0]["n"]
     dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    w = tf.join(F.broadcast(dfreq), "term").select(
+    vocab_n = dfreq.count()
+    dfj = F.broadcast(dfreq) if vocab_n <= broadcast_max_terms else dfreq
+    w = tf.join(dfj, "term").select(
         "id",
         "term",
         (F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))).alias("w"),

@@ -22,6 +22,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Upper bound for an explicit broadcast hint: ~5M short-string rows is
+# on the order of a few hundred MB serialized — comfortably inside a
+# driver/executor at typical cluster memory, and far below the sizes an
+# entity-linking canonical map or web-corpus vocabulary reaches (1e8+).
+BROADCAST_MAX_ROWS = 5_000_000
+
+
+def size_aware_broadcast(df: DataFrame, max_rows: int | None = BROADCAST_MAX_ROWS) -> DataFrame:
+    """Broadcast-hint `df` only when it is provably dimension-sized.
+
+    Counts the frame (one job — callers pass frames that are already
+    materialized/checkpointed or cheap aggregates) and attaches the
+    broadcast hint only under `max_rows`; above it the frame joins via
+    shuffle and AQE picks the physical strategy from runtime stats.
+    `max_rows=None` skips the count and never hints (pure AQE).
+    At the 100 TB design point this is the guard that keeps an unbounded
+    canonical map / vocabulary from OOMing the driver."""
+    if max_rows is not None and df.count() <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

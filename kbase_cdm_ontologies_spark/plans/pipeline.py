@@ -94,12 +94,16 @@ def run_pipeline(
 
     fp0 = corpus_fingerprint
 
+    # code_hash covers the WHOLE module(s) a stage executes, not just its
+    # top-level entry point: an edit to any helper the stage closure
+    # calls must invalidate the checkpoint (resume contract: re-run iff
+    # code or inputs changed)
     extracted = stage(
-        "m1_extracted", fp0, [text_extract.extract_text_stage],
+        "m1_extracted", fp0, [text_extract],
         lambda: text_extract.extract_text_stage(pages),
     )
     alias = stage(
-        "m2_alias", fp0, [alias_dict.build_alias_dict],
+        "m2_alias", fp0, [alias_dict],
         lambda: alias_dict.with_candidate_counts(alias_dict.build_alias_dict(statements)),
     )
     fp1 = ck.fingerprint_of("m1_extracted", "m2_alias") if ck else fp0
@@ -113,21 +117,23 @@ def run_pipeline(
         ments = doc_pipeline.mentions_view(fused)
         raw = doc_pipeline.raw_triples_view(fused)
     else:
+        from ..functions import aho
+
         ments = stage(
-            "m3_mentions", fp1, [mentions_op.detect_mentions],
+            "m3_mentions", fp1, [mentions_op, aho],
             lambda: mentions_op.detect_mentions(extracted, alias),
         )
         raw = stage(
-            "m4_raw_triples", fp1, [triples_op.extract_triples],
+            "m4_raw_triples", fp1, [triples_op],
             lambda: triples_op.extract_triples(extracted),
         )
     cmap = stage(
-        "m6_canonical", fp0, [canonicalize.connected_components],
+        "m6_canonical", fp0, [canonicalize],
         lambda: canonicalize.canonical_map(statements),
     )
     fp2 = ck.fingerprint_of("m3_mentions", "m4_raw_triples", "m6_canonical") if ck else fp0
     linked = stage(
-        "m5_linked", fp2, [linking.link_triples],
+        "m5_linked", fp2, [linking, canonicalize],
         lambda: canonicalize.apply_canonical(
             linking.link_triples(raw, alias, ments), cmap, ["subj_id", "obj_id"]
         ),
@@ -149,11 +155,11 @@ def run_pipeline(
     fp3 = ck.fingerprint_of("m5_linked", "m6_canonical") if ck else fp0
     edges = stage(
         "m7_edges", fp3,
-        [closure.entail, closure.transitive_closure],
+        [closure, canonicalize, class_node_ids],
         compute_edges,
     )
     nodes = stage(
-        "m7_nodes", fp3, [build_nodes],
+        "m7_nodes", fp3, [build_nodes, canonicalize],
         lambda: build_nodes(alias, cmap),
     )
 

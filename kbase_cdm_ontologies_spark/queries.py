@@ -1181,10 +1181,14 @@ def kg_mentions_operator(spark, sf_dir):
 @q("approx_distinct_stats")  # approximate by design: rows-only check
 def approx_distinct_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # scalar quantile columns (not one array column) so the harness's
+    # rows-only canonicalization can sort the result deterministically
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99"),
     )
 
 

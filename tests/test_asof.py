@@ -59,3 +59,17 @@ def test_asof_bucketed_matches_plain_within_gap(spark):
         for row in asof_join_bucketed(l, r, "key", "ts", "rts", 86400).collect()
     }
     assert got == want
+
+
+def test_asof_preserves_duplicate_left_rows(spark):
+    """pandas merge_asof / DuckDB ASOF preserve left cardinality even
+    for fully identical left rows — so must both variants."""
+    l = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 12)), ("a", datetime(2024, 1, 1, 12))],
+        ["key", "ts"],
+    )
+    r = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 10), 1.0)], ["key", "rts", "px"]
+    )
+    assert asof_join(l, r, "key", "ts", "rts").count() == 2
+    assert asof_join_bucketed(l, r, "key", "ts", "rts", 86400 * 2).count() == 2

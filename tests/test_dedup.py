@@ -126,3 +126,14 @@ def test_ngram_shingles(spark):
         ).collect()
     }
     assert sh == {"a b", "b c", "c d"}
+
+
+def test_ngram_shingles_short_docs_yield_nothing(spark):
+    # docs with fewer than n tokens (incl. empty/whitespace-only) must
+    # produce zero shingles, not an INVALID_PARAMETER_VALUE.START crash
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "   "), (4, "two words"), (5, "a b c")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.ngram_shingles(df, "doc_id", "text", 3).collect()
+    assert {(r["id"], r["shingle"]) for r in rows} == {(5, "a b c")}

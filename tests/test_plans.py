@@ -48,8 +48,48 @@ def test_approx_within_tolerance(spark):
     rows = QUERIES["approx_distinct_stats"](spark, SF_DIR).collect()
     for r in rows:
         assert abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"] < 0.1
-        q50, q95, q99 = r["price_quantiles"]
-        assert q50 <= q95 <= q99
+        assert r["p50"] <= r["p95"] <= r["p99"]
+
+
+def test_apply_canonical_size_aware_broadcast(spark):
+    """Small canonical maps broadcast; oversized ones must NOT (an
+    unbounded web-entity map would OOM the driver at 100 TB scale)."""
+    from pyspark.sql import functions as F
+
+    from kbase_cdm_ontologies_spark.operators.canonicalize import apply_canonical
+
+    facts = spark.range(200).select(
+        F.concat(F.lit("N:"), (F.col("id") % 20).cast("string")).alias("subject")
+    )
+    cmap = spark.createDataFrame(
+        [(f"N:{i}", f"N:{i % 5}") for i in range(20)], ["id", "canonical"]
+    )
+    small = apply_canonical(facts, cmap, ["subject"])
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    # identical data, threshold forced below the map size -> shuffle path
+    big = apply_canonical(facts, cmap, ["subject"], broadcast_max_rows=5)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_big or "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+    # both strategies produce the same rewrite
+    assert sorted(r["subject"] for r in small.collect()) == sorted(
+        r["subject"] for r in big.collect()
+    )
+
+
+def test_tfidf_size_aware_dfreq_join(spark):
+    """Wide-vocabulary corpora must take the shuffle path for the
+    document-frequency join (no unconditional vocabulary broadcast)."""
+    from kbase_cdm_ontologies_spark.operators.similarity import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} shared") for i in range(30)], ["doc_id", "text"]
+    )
+    vecs_shuffle = tfidf_vectors(docs, "doc_id", "text", broadcast_max_terms=3)
+    vecs_bcast = tfidf_vectors(docs, "doc_id", "text", broadcast_max_terms=10_000)
+    a = {(r["id"], r["term"]): round(r["w"], 9) for r in vecs_shuffle.collect()}
+    b = {(r["id"], r["term"]): round(r["w"], 9) for r in vecs_bcast.collect()}
+    assert a == b and len(a) > 0
 
 
 @pytest.mark.parametrize(
