@@ -7,6 +7,11 @@ notebooks/workflow.ipynb:1631-1641):
   --disable-owl-nothing true    -> owl:Nothing filtered before closure
   + transitive closure of rdfs:subClassOf
   + existential property entailment: a ⊑ ∃p.c, x ⊑ a, c ⊑ d ⟹ (x,p,d)
+  + property-level EL rules (the edges that dominate the reference's
+    golden entailed_edge — BFO:0000050 / RO:0002131, SURVEY §1.1.3):
+      SubRole  (x,p,y), p ⊑* q              ⟹ (x,q,y)
+      Trans    q owl:TransitiveProperty     ⟹ R_q transitively closed
+      Chain    p1 o p2 ⊑ r: (x,p1,y),(y,p2,z) ⟹ (x,r,z)
 
 Algorithm: path-doubling transitive closure — O(log diameter) joins
 instead of O(diameter):
@@ -31,6 +36,11 @@ LOGIC_PREDICATES = (
     "owl:onProperty",
     "owl:someValuesFrom",
     "rdf:type",
+    # property-level schema (relation-graph OWL EL semantics):
+    "rdfs:subPropertyOf",
+    "owl:propertyChainAxiom",
+    "rdf:first",
+    "rdf:rest",
 )
 
 
@@ -115,6 +125,191 @@ def restriction_axioms(pruned: DataFrame) -> DataFrame:
     return sub_bn.join(on_prop, "bn").join(some_from, "bn").select("a", "prop", "c")
 
 
+def keyed_transitive_closure(
+    edges: DataFrame,
+    key: str = "p",
+    src: str = "s",
+    dst: str = "o",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Per-key path-doubling transitive closure: within every key group
+    (one group per transitive property), all (s, o) with a path s ->+ o.
+    One DataFrame loop closes EVERY transitive property simultaneously —
+    the join key is (key, mid node), so hub middle nodes of one property
+    don't serialize the others, and AQE's skew-join splits hot (p, mid)
+    keys at scale."""
+    c = (
+        edges.select(F.col(key).alias("p"), F.col(src).alias("s"), F.col(dst).alias("o"))
+        .where(F.col("s") != F.col("o"))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    n_prev = c.count()
+    for _ in range(max_rounds):
+        hop = (
+            c.alias("a")
+            .join(
+                c.alias("b").hint("shuffle_hash"),
+                (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("b.p")),
+            )
+            .select(F.col("a.p").alias("p"), F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+        )
+        c = (
+            c.unionByName(hop)
+            .where(F.col("s") != F.col("o"))
+            .dropDuplicates()
+            .localCheckpoint(eager=False)
+        )
+        n_new = c.count()
+        if n_new == n_prev:
+            return c
+        n_prev = n_new
+    raise RuntimeError(f"keyed_transitive_closure: no fixpoint in {max_rounds} rounds")
+
+
+def property_schema(pruned: DataFrame) -> tuple[dict[str, set[str]], set[str], list[tuple[str, str, str]]]:
+    """Collect the property-level schema to the driver:
+
+      hierarchy: p -> all super-properties (reflexive-transitive
+                 rdfs:subPropertyOf closure)
+      transitive: property ids declared owl:TransitiveProperty
+      chains: (p1, p2, r) rows for r owl:propertyChainAxiom (p1 p2)
+
+    The property schema of any ontology set is dictionary-sized (OBO
+    reality: hundreds of RO/BFO properties — reference golden output is
+    dominated by just three), so driver-side closure + broadcast back is
+    the mandated dictionary pattern, same as the alias table. Chains of
+    length > 2 are decomposed into binary steps via synthetic
+    intermediate properties (standard EL normalization)."""
+    # ONE collect for the whole property schema (dictionary-sized)
+    schema_rows = (
+        pruned.where(
+            F.col("predicate").isin(
+                "rdfs:subPropertyOf", "owl:propertyChainAxiom", "rdf:first", "rdf:rest"
+            )
+            | (
+                (F.col("predicate") == "rdf:type")
+                & (F.col("object") == "owl:TransitiveProperty")
+            )
+        )
+        .select("subject", "predicate", "object")
+        .collect()
+    )
+    sub_rows = [r for r in schema_rows if r["predicate"] == "rdfs:subPropertyOf"]
+    trans = {r["subject"] for r in schema_rows if r["predicate"] == "rdf:type"}
+    chain_heads = [r for r in schema_rows if r["predicate"] == "owl:propertyChainAxiom"]
+    firsts = {
+        r["subject"]: r["object"] for r in schema_rows if r["predicate"] == "rdf:first"
+    }
+    rests = {
+        r["subject"]: r["object"] for r in schema_rows if r["predicate"] == "rdf:rest"
+    }
+    chains: list[tuple[str, str, str]] = []
+    for r in chain_heads:
+        sup, bn = r["subject"], r["object"]
+        members: list[str] = []
+        while bn and bn != "rdf:nil" and bn in firsts:
+            members.append(firsts[bn])
+            bn = rests.get(bn)
+        if len(members) < 2:
+            continue
+        # binary decomposition: p1 o p2 o p3 ⊑ r becomes
+        # p1 o p2 ⊑ _step, _step o p3 ⊑ r
+        acc = members[0]
+        for i, m in enumerate(members[1:], start=1):
+            target = sup if i == len(members) - 1 else f"_:step_{sup}_{i}"
+            chains.append((acc, m, target))
+            acc = target
+    # reflexive-transitive subPropertyOf closure (tiny graph -> driver BFS)
+    direct: dict[str, set[str]] = {}
+    for r in sub_rows:
+        direct.setdefault(r["subject"], set()).add(r["object"])
+    props = set(direct) | {q for qs in direct.values() for q in qs} | trans
+    props |= {p for c in chains for p in c}
+    hierarchy: dict[str, set[str]] = {}
+    for p in props:
+        seen = {p}
+        frontier = [p]
+        while frontier:
+            cur = frontier.pop()
+            for sup in direct.get(cur, ()):
+                if sup not in seen:
+                    seen.add(sup)
+                    frontier.append(sup)
+        hierarchy[p] = seen
+    return hierarchy, trans, chains
+
+
+def property_closure(
+    base_edges: DataFrame,
+    hierarchy: dict[str, set[str]],
+    transitive: set[str],
+    chains: list[tuple[str, str, str]],
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Saturate (s, p, o) existential edges under the EL property rules:
+
+      SubRole:   (x, p, y), p ⊑* q               ⟹ (x, q, y)
+      Trans:     q transitive: (x,q,y), (y,q,z)  ⟹ (x, q, z)
+      Chain:     p1 o p2 ⊑ r: (x,p1,y), (y,p2,z) ⟹ (x, r, z)
+
+    Transitivity is closed by per-property path doubling (O(log diam)
+    rounds, all transitive properties in one keyed loop); explicit
+    chains compose through a broadcast (p1, p2, r) table. The outer loop
+    re-runs only while composition keeps producing new edges — its
+    depth is the chain-nesting depth of the schema (1 for pure
+    transitivity, tiny in practice). The edge set grows monotonically,
+    so count equality is the exact fixpoint test."""
+    spark = base_edges.sparkSession
+    hier_rows = [
+        (p, q) for p, qs in hierarchy.items() for q in qs if q != p
+    ]
+    r = base_edges.select("s", "p", "o").where(F.col("s") != F.col("o")).dropDuplicates()
+
+    def expand_hierarchy(df: DataFrame) -> DataFrame:
+        if not hier_rows:
+            return df
+        h = F.broadcast(spark.createDataFrame(hier_rows, ["p", "q"]))
+        up = df.join(h, "p").select("s", F.col("q").alias("p"), "o")
+        return df.unionByName(up).dropDuplicates()
+
+    r = expand_hierarchy(r).localCheckpoint(eager=False)
+    if not transitive and not chains:
+        return r
+    chain_df = (
+        F.broadcast(spark.createDataFrame(chains, ["p1", "p2", "r"])) if chains else None
+    )
+    n_prev = r.count()
+    for _ in range(max_rounds):
+        new = r
+        if transitive:
+            closed_t = keyed_transitive_closure(
+                r.where(F.col("p").isin(*transitive)), key="p"
+            )
+            new = new.unionByName(closed_t.select("s", "p", "o"))
+        if chain_df is not None:
+            comp = (
+                new.alias("a")
+                .join(chain_df, F.col("a.p") == F.col("p1"))
+                .join(
+                    new.alias("b").hint("shuffle_hash"),
+                    (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
+                )
+                .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
+            )
+            new = new.unionByName(comp)
+        r = (
+            expand_hierarchy(new.where(F.col("s") != F.col("o")).dropDuplicates())
+            .localCheckpoint(eager=False)
+        )
+        n_new = r.count()
+        if n_new == n_prev:
+            # synthetic chain-step properties never leave the operator
+            return r.where(~F.col("p").startswith("_:step_"))
+        n_prev = n_new
+    raise RuntimeError(f"property_closure: no fixpoint in {max_rounds} rounds")
+
+
 def entail(
     statements: DataFrame,
     class_nodes: DataFrame,
@@ -139,19 +334,28 @@ def entail(
     )
 
     restr = restriction_axioms(pruned)
-    # x ⊑ a (rtc), a ⊑ ∃p.c, c ⊑ d (rtc)  ⟹  (x, p, d)
-    prop_out = (
+    # base existential edges: x ⊑ a (rtc), a ⊑ ∃p.c, c ⊑ d (rtc) ⟹ (x,p,d)
+    # — closed under subject-side subclass descent and object-side
+    # ascent by construction, which is exactly the invariant the
+    # property rules below need (composition of two closed edges is
+    # closed, so no re-propagation pass after saturation)
+    base_prop = (
         rtc.select(F.col("s").alias("x"), F.col("o").alias("a"))
         .join(F.broadcast(restr), "a")
         .join(
             rtc.select(F.col("s").alias("c"), F.col("o").alias("d")),
             "c",
         )
-        .select(
-            F.col("x").alias("subject"),
-            F.col("prop").alias("predicate"),
-            F.col("d").alias("object"),
-        )
+        .select(F.col("x").alias("s"), F.col("prop").alias("p"), F.col("d").alias("o"))
+    )
+    # property-level entailment (relation-graph semantics: transitive
+    # object properties, subPropertyOf, property chains — the rules that
+    # dominate the reference's golden entailed_edge table)
+    hierarchy, transitive, chains = property_schema(pruned)
+    prop_out = property_closure(base_prop, hierarchy, transitive, chains).select(
+        F.col("s").alias("subject"),
+        F.col("p").alias("predicate"),
+        F.col("o").alias("object"),
     )
     # individuals: x rdf:type C, C ⊑ D  ⟹  x rdf:type D
     # (relation-graph --output-individuals true, workflow.ipynb:1638);

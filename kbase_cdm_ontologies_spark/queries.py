@@ -460,6 +460,56 @@ def kg_transitive_closure(spark, sf_dir):
     )
 
 
+@q(
+    "kg_property_closure",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT c_custkey % 64 AS s, (c_custkey % 64) // 2 AS o
+      FROM customer WHERE c_custkey % 64 >= 1
+    ), tc(s, o) AS (
+      SELECT s, o FROM e
+      UNION
+      SELECT tc.s, e.o FROM tc JOIN e ON tc.o = e.s
+    )
+    SELECT s AS subject, 'part_of' AS predicate, o AS object FROM tc
+    UNION ALL
+    SELECT s AS subject, 'overlaps' AS predicate, o AS object FROM tc
+    UNION ALL
+    SELECT DISTINCT a.s AS subject, 'indirect_part_of' AS predicate, b.o AS object
+    FROM tc a JOIN tc b ON a.o = b.s
+    """,
+)
+def kg_property_closure(spark, sf_dir):
+    """Property-level EL entailment under the oracle gate: a binary
+    tree of part_of edges with Trans(part_of), part_of ⊑ overlaps, and
+    the chain part_of o part_of ⊑ indirect_part_of — the three rules
+    relation-graph materializes (reference workflow.ipynb:1631-1641)."""
+    from .operators.closure import property_closure
+
+    c = _t(spark, sf_dir, "customer")
+    e = (
+        c.select((F.col("c_custkey") % 64).alias("s"))
+        .where(F.col("s") >= 1)
+        .distinct()
+        .select(
+            F.col("s").cast("long").alias("s"),
+            F.lit("part_of").alias("p"),
+            F.floor(F.col("s") / 2).cast("long").alias("o"),
+        )
+    )
+    closed = property_closure(
+        e,
+        hierarchy={"part_of": {"part_of", "overlaps"}},
+        transitive={"part_of"},
+        chains=[("part_of", "part_of", "indirect_part_of")],
+    )
+    return closed.select(
+        F.col("s").alias("subject"),
+        F.col("p").alias("predicate"),
+        F.col("o").alias("object"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference string semantics: IRI normalization + CURIE compaction
 # (scripts/analyze_core_ontologies.py:11-29; semsql prefix table)

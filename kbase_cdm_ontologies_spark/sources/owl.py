@@ -135,6 +135,55 @@ def parse_owl_xml(content: str, source_name: str) -> list[dict]:
             res = _resource(t)
             if res:
                 stmt(term, term, "rdf:type", obj=curie(res))
+
+    # object properties: declarations, characteristics (transitivity),
+    # hierarchy, and property-chain axioms — the inputs relation-graph's
+    # property-level entailment consumes (reference closure engine,
+    # notebooks/workflow.ipynb:1631-1641; RO/BFO properties dominate the
+    # golden entailed_edge table). <owl:TransitiveProperty rdf:about>
+    # top-level elements are the serialization shorthand for
+    # ObjectProperty + rdf:type owl:TransitiveProperty.
+    for tag, extra_type in (
+        (f"{OWL}ObjectProperty", None),
+        (f"{OWL}TransitiveProperty", "owl:TransitiveProperty"),
+    ):
+        for prop in root.findall(tag):
+            about = prop.get(f"{RDF}about")
+            if not about:
+                continue
+            term = curie(about)
+            stmt(term, term, "rdf:type", obj="owl:ObjectProperty")
+            if extra_type:
+                stmt(term, term, "rdf:type", obj=extra_type)
+            for t in prop.findall(f"{RDF}type"):
+                res = _resource(t)
+                if res:
+                    stmt(term, term, "rdf:type", obj=curie(res))
+            for lab in prop.findall(f"{RDFS}label"):
+                stmt(term, term, "rdfs:label", value=lab.text, language=lab.get(XML_LANG))
+            for sup in prop.findall(f"{RDFS}subPropertyOf"):
+                res = _resource(sup)
+                if res:
+                    stmt(term, term, "rdfs:subPropertyOf", obj=curie(res))
+            for chain in prop.findall(f"{OWL}propertyChainAxiom"):
+                # parseType="Collection": children are the chain members
+                # in order; reify as a standard rdf:first/rdf:rest list
+                members = [
+                    curie(_resource(d) or "")
+                    for d in chain
+                    if _resource(d)
+                ]
+                if not members:
+                    continue
+                bns = []
+                for _ in members:
+                    bns.append(f"_:chain_{source_name}_{bn_counter:06d}")
+                    bn_counter += 1
+                stmt(term, term, "owl:propertyChainAxiom", obj=bns[0])
+                for i, m in enumerate(members):
+                    stmt(term, bns[i], "rdf:first", obj=m)
+                    nxt = bns[i + 1] if i + 1 < len(members) else "rdf:nil"
+                    stmt(term, bns[i], "rdf:rest", obj=nxt)
     return rows
 
 
@@ -224,6 +273,36 @@ def render_owl_xml(rows: list[dict], onto_name: str) -> str:
     for subject in sorted(by_subject):
         srows = by_subject[subject]
         if not any(
+            r["predicate"] == "rdf:type" and r["object"] == "owl:ObjectProperty"
+            for r in srows
+        ):
+            continue
+        out.append(f'  <owl:ObjectProperty rdf:about="{uncurie(subject)}">')
+        for r in srows:
+            p, o, v, lang = r["predicate"], r["object"], r["value"], r["language"]
+            if p == "rdf:type" and o not in ("owl:ObjectProperty",):
+                out.append(f'    <rdf:type rdf:resource="{uncurie(o)}"/>')
+            elif p == "rdfs:label":
+                la = f' xml:lang="{lang}"' if lang else ""
+                out.append(f"    <rdfs:label{la}>{_esc(v)}</rdfs:label>")
+            elif p == "rdfs:subPropertyOf":
+                out.append(f'    <rdfs:subPropertyOf rdf:resource="{uncurie(o)}"/>')
+            elif p == "owl:propertyChainAxiom":
+                # walk the rdf:first/rdf:rest list back into Collection form
+                members, bn = [], o
+                while bn and bn != "rdf:nil":
+                    parts = {rr["predicate"]: rr["object"] for rr in bn_rows.get(bn, [])}
+                    if "rdf:first" in parts:
+                        members.append(parts["rdf:first"])
+                    bn = parts.get("rdf:rest")
+                out.append('    <owl:propertyChainAxiom rdf:parseType="Collection">')
+                for m in members:
+                    out.append(f'      <rdf:Description rdf:about="{uncurie(m)}"/>')
+                out.append("    </owl:propertyChainAxiom>")
+        out.append("  </owl:ObjectProperty>")
+    for subject in sorted(by_subject):
+        srows = by_subject[subject]
+        if not any(
             r["predicate"] == "rdf:type" and r["object"] == "owl:NamedIndividual"
             for r in srows
         ):
@@ -245,6 +324,13 @@ _FN_ONTOLOGY = re.compile(r"Ontology\(<([^>]+)>")
 _FN_IMPORT = re.compile(r"Import\(<([^>]+)>\)")
 _FN_DECL = re.compile(r"Declaration\(Class\(<([^>]+)>\)\)")
 _FN_SUBCLASS = re.compile(r"SubClassOf\(<([^>]+)> <([^>]+)>\)")
+_FN_DECL_OP = re.compile(r"Declaration\(ObjectProperty\(<([^>]+)>\)\)")
+_FN_TRANSITIVE = re.compile(r"TransitiveObjectProperty\(<([^>]+)>\)")
+_FN_SUBPROP = re.compile(r"SubObjectPropertyOf\(<([^>]+)> <([^>]+)>\)")
+_FN_CHAIN = re.compile(
+    r"SubObjectPropertyOf\(ObjectPropertyChain\(((?:<[^>]+>\s*)+)\) <([^>]+)>\)"
+)
+_FN_IRI = re.compile(r"<([^>]+)>")
 
 
 def is_functional_syntax(content: str) -> bool:
@@ -272,6 +358,31 @@ def parse_functional_syntax(content: str, source_name: str) -> list[dict]:
         stmt(t, "rdf:type", "owl:Class")
     for s, o in _FN_SUBCLASS.findall(content):
         stmt(curie(s), "rdfs:subClassOf", curie(o))
+    for decl in _FN_DECL_OP.findall(content):
+        stmt(curie(decl), "rdf:type", "owl:ObjectProperty")
+    for p in _FN_TRANSITIVE.findall(content):
+        stmt(curie(p), "rdf:type", "owl:TransitiveProperty")
+    for s, o in _FN_SUBPROP.findall(content):
+        stmt(curie(s), "rdfs:subPropertyOf", curie(o))
+    chain_counter = 0
+    for members_raw, sup in _FN_CHAIN.findall(content):
+        members = [curie(m) for m in _FN_IRI.findall(members_raw)]
+        term = curie(sup)
+        bns = []
+        for _ in members:
+            bns.append(f"_:chain_{source_name}_{chain_counter:06d}")
+            chain_counter += 1
+        rows.append(
+            dict(stanza=term, subject=term, predicate="owl:propertyChainAxiom",
+                 object=bns[0], value=None, datatype=None, language=None, graph=None)
+        )
+        for i, m in enumerate(members):
+            nxt = bns[i + 1] if i + 1 < len(members) else "rdf:nil"
+            for pred, obj in (("rdf:first", m), ("rdf:rest", nxt)):
+                rows.append(
+                    dict(stanza=term, subject=bns[i], predicate=pred, object=obj,
+                         value=None, datatype=None, language=None, graph=None)
+                )
     return rows
 
 

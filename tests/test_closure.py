@@ -143,3 +143,168 @@ def test_random_dag_matches_bfs(spark):
                     stack.append(y)
         want |= {(s, o) for o in seen}
     assert got == want
+
+
+# --- property-level entailment (relation-graph EL rules) --------------------
+
+STMT_SCHEMA = (
+    "stanza string, subject string, predicate string, object string, "
+    "value string, datatype string, language string, graph string"
+)
+
+
+def _restriction(owner, bn, prop, filler):
+    return [
+        (owner, "rdfs:subClassOf", bn),
+        (bn, "owl:onProperty", prop),
+        (bn, "owl:someValuesFrom", filler),
+    ]
+
+
+def _entail(spark, rows, nodes):
+    stmts = spark.createDataFrame(_stmt_rows(rows), STMT_SCHEMA)
+    class_nodes = spark.createDataFrame([(n,) for n in nodes], ["id"])
+    return {
+        (r["subject"], r["predicate"], r["object"])
+        for r in entail(stmts, class_nodes).collect()
+    }
+
+
+def _props(got):
+    return {t for t in got if t[1] != "rdfs:subClassOf"}
+
+
+def test_transitive_property_entailment(spark):
+    # x ⊑ ∃p.y, y ⊑ ∃p.z, p transitive ⟹ (x,p,z) in addition to bases
+    rows = (
+        _restriction("x", "_:b1", "p", "y")
+        + _restriction("y", "_:b2", "p", "z")
+        + [("p", "rdf:type", "owl:TransitiveProperty")]
+    )
+    got = _props(_entail(spark, rows, ["x", "y", "z"]))
+    assert got == {("x", "p", "y"), ("y", "p", "z"), ("x", "p", "z")}
+
+
+def test_transitive_property_long_chain(spark):
+    # 12-node p-chain: closure = n(n-1)/2 pairs via keyed path doubling
+    n = 12
+    rows = [("p", "rdf:type", "owl:TransitiveProperty")]
+    for i in range(n - 1):
+        rows += _restriction(f"c{i:02d}", f"_:b{i}", "p", f"c{i+1:02d}")
+    got = _props(_entail(spark, rows, [f"c{i:02d}" for i in range(n)]))
+    assert got == {
+        (f"c{i:02d}", "p", f"c{j:02d}") for i in range(n) for j in range(i + 1, n)
+    }
+
+
+def test_subproperty_entailment(spark):
+    # p ⊑ q: every p edge is also a q edge; q is NOT transitive here
+    rows = _restriction("x", "_:b1", "p", "y") + [
+        ("p", "rdfs:subPropertyOf", "q"),
+    ]
+    got = _props(_entail(spark, rows, ["x", "y"]))
+    assert got == {("x", "p", "y"), ("x", "q", "y")}
+
+
+def test_transitive_superproperty(spark):
+    # p ⊑ t, t transitive: p edges lift to t and close there, but p
+    # itself is NOT closed (relation-graph semantics)
+    rows = (
+        _restriction("x", "_:b1", "p", "y")
+        + _restriction("y", "_:b2", "p", "z")
+        + [
+            ("p", "rdfs:subPropertyOf", "t"),
+            ("t", "rdf:type", "owl:TransitiveProperty"),
+        ]
+    )
+    got = _props(_entail(spark, rows, ["x", "y", "z"]))
+    assert got == {
+        ("x", "p", "y"), ("y", "p", "z"),
+        ("x", "t", "y"), ("y", "t", "z"), ("x", "t", "z"),
+    }
+    assert ("x", "p", "z") not in got
+
+
+def test_property_chain_entailment(spark):
+    # p1 o p2 ⊑ r (rdf-list encoding): (x,p1,y), (y,p2,z) ⟹ (x,r,z)
+    rows = (
+        _restriction("x", "_:b1", "p1", "y")
+        + _restriction("y", "_:b2", "p2", "z")
+        + [
+            ("r", "owl:propertyChainAxiom", "_:l1"),
+            ("_:l1", "rdf:first", "p1"),
+            ("_:l1", "rdf:rest", "_:l2"),
+            ("_:l2", "rdf:first", "p2"),
+            ("_:l2", "rdf:rest", "rdf:nil"),
+        ]
+    )
+    got = _props(_entail(spark, rows, ["x", "y", "z"]))
+    assert got == {("x", "p1", "y"), ("y", "p2", "z"), ("x", "r", "z")}
+
+
+def test_chain_length_three_decomposed(spark):
+    # p o p o p ⊑ r decomposes into binary steps; the synthetic step
+    # property must not leak into the output
+    rows = (
+        _restriction("a", "_:b1", "p", "b")
+        + _restriction("b", "_:b2", "p", "c")
+        + _restriction("c", "_:b3", "p", "d")
+        + [
+            ("r", "owl:propertyChainAxiom", "_:l1"),
+            ("_:l1", "rdf:first", "p"),
+            ("_:l1", "rdf:rest", "_:l2"),
+            ("_:l2", "rdf:first", "p"),
+            ("_:l2", "rdf:rest", "_:l3"),
+            ("_:l3", "rdf:first", "p"),
+            ("_:l3", "rdf:rest", "rdf:nil"),
+        ]
+    )
+    got = _props(_entail(spark, rows, ["a", "b", "c", "d"]))
+    assert ("a", "r", "d") in got
+    assert not any(p.startswith("_:step_") for _, p, _o in got)
+    # binary prefix p o p must NOT produce r edges
+    assert ("a", "r", "c") not in got
+
+
+def test_property_edges_propagate_through_subclass(spark):
+    # w ⊑ x, x ⊑ ∃p.y, y' ⊑ y... transitivity composes through the
+    # subclass-propagated middle: w gets every closed edge of x
+    rows = (
+        [("w", "rdfs:subClassOf", "x")]
+        + _restriction("x", "_:b1", "p", "y")
+        + _restriction("y", "_:b2", "p", "z")
+        + [("p", "rdf:type", "owl:TransitiveProperty")]
+    )
+    got = _props(_entail(spark, rows, ["w", "x", "y", "z"]))
+    assert {("w", "p", "y"), ("w", "p", "z"), ("x", "p", "z")} <= got
+
+
+def test_keyed_transitive_closure_matches_per_key_bfs(spark):
+    import random
+
+    from kbase_cdm_ontologies_spark.operators.closure import keyed_transitive_closure
+
+    rng = random.Random(11)
+    edges = sorted({
+        (f"p{rng.randrange(3)}", f"v{a:02d}", f"v{b:02d}")
+        for _ in range(150)
+        for a, b in [sorted(rng.sample(range(25), 2))]
+    })
+    df = spark.createDataFrame(edges, ["p", "s", "o"])
+    got = {(r["p"], r["s"], r["o"]) for r in keyed_transitive_closure(df).collect()}
+    want = set()
+    for key in {e[0] for e in edges}:
+        adj = {}
+        for p, s, o in edges:
+            if p == key:
+                adj.setdefault(s, set()).add(o)
+        for s in adj:
+            seen, stack = set(), [s]
+            while stack:
+                x = stack.pop()
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            want |= {(key, s, o) for o in seen}
+    assert got == want

@@ -161,3 +161,75 @@ def test_remove_axioms_and_pseudo_base(spark):
     base = {(r["subject"], r["predicate"]) for r in pseudo_base(df, "A").collect()}
     assert ("B:1", "rdfs:subClassOf") not in base
     assert ("_:b1", "owl:onProperty") in base  # owned blank node kept
+
+
+def test_object_property_roundtrip_and_entailment(spark):
+    """OWL-ingest parity for property-level schema: an ontology with a
+    transitive property, a subproperty, and a chain axiom round-trips
+    through render -> parse and the parsed statements entail the
+    hand-computed property closure."""
+    rows = [
+        dict(stanza=s, subject=s, predicate=p, object=o, value=None,
+             datatype=None, language=None, graph=None)
+        for s, p, o in [
+            # classes x ⊑ ∃part_of.y, y ⊑ ∃part_of.z
+            ("PPP:0000001", "rdf:type", "owl:Class"),
+            ("PPP:0000002", "rdf:type", "owl:Class"),
+            ("PPP:0000003", "rdf:type", "owl:Class"),
+            ("PPP:0000001", "rdfs:subClassOf", "_:r1"),
+            ("_:r1", "owl:onProperty", "BFO:0000050"),
+            ("_:r1", "owl:someValuesFrom", "PPP:0000002"),
+            ("PPP:0000002", "rdfs:subClassOf", "_:r2"),
+            ("_:r2", "owl:onProperty", "BFO:0000050"),
+            ("_:r2", "owl:someValuesFrom", "PPP:0000003"),
+            # part_of: transitive, ⊑ overlaps; overlaps o part_of ⊑ overlaps
+            ("BFO:0000050", "rdf:type", "owl:ObjectProperty"),
+            ("BFO:0000050", "rdf:type", "owl:TransitiveProperty"),
+            ("BFO:0000050", "rdfs:subPropertyOf", "RO:0002131"),
+            ("RO:0002131", "rdf:type", "owl:ObjectProperty"),
+            ("RO:0002131", "owl:propertyChainAxiom", "_:l1"),
+            ("_:l1", "rdf:first", "RO:0002131"),
+            ("_:l1", "rdf:rest", "_:l2"),
+            ("_:l2", "rdf:first", "BFO:0000050"),
+            ("_:l2", "rdf:rest", "rdf:nil"),
+        ]
+    ]
+    xml = render_owl_xml(rows, "PPP")
+    parsed = parse_owl_xml(xml, "PPP")
+    trip = {(r["subject"], r["predicate"], r["object"]) for r in parsed}
+    assert ("BFO:0000050", "rdf:type", "owl:TransitiveProperty") in trip
+    assert ("BFO:0000050", "rdfs:subPropertyOf", "RO:0002131") in trip
+    # chain list re-parsed intact (blank-node names differ; shape checked)
+    chain_bn = [o for s, p, o in trip if p == "owl:propertyChainAxiom"]
+    assert len(chain_bn) == 1
+    firsts = {s: o for s, p, o in trip if p == "rdf:first"}
+    rests = {s: o for s, p, o in trip if p == "rdf:rest"}
+    members, bn = [], chain_bn[0]
+    while bn != "rdf:nil":
+        members.append(firsts[bn])
+        bn = rests[bn]
+    assert members == ["RO:0002131", "BFO:0000050"]
+
+    from kbase_cdm_ontologies_spark.operators.closure import entail
+    from kbase_cdm_ontologies_spark.plans.pipeline import class_node_ids
+
+    stmts = spark.createDataFrame(
+        parsed,
+        "stanza string, subject string, predicate string, object string, "
+        "value string, datatype string, language string, graph string",
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in entail(stmts, class_node_ids(stmts)).collect()
+        if r["predicate"] != "rdfs:subClassOf"
+    }
+    P, O = "BFO:0000050", "RO:0002131"
+    x, y, z = "PPP:0000001", "PPP:0000002", "PPP:0000003"
+    want = {
+        (x, P, y), (y, P, z),
+        (x, P, z),                      # Trans(part_of)
+        (x, O, y), (y, O, z), (x, O, z),  # SubRole lift
+        # Chain overlaps o part_of ⊑ overlaps adds nothing new here
+        # beyond edges already present via the lift of closed part_of
+    }
+    assert got == want
