@@ -386,9 +386,124 @@ def parse_functional_syntax(content: str, source_name: str) -> list[dict]:
     return rows
 
 
+# --- OBO flat-file format (reference merges .obo inputs:
+# scripts/merge_ontologies.py:66 admits them; the standard OBO->OWL
+# mapping below follows the public obographs/ROBOT translation) -------------
+
+_OBO_SYN_SCOPE = {
+    "EXACT": "oio:hasExactSynonym",
+    "RELATED": "oio:hasRelatedSynonym",
+    "BROAD": "oio:hasBroadSynonym",
+    "NARROW": "oio:hasRelatedSynonym",  # collapsed like the semsql view
+}
+_OBO_SYN_RE = re.compile(r'^"((?:[^"\\]|\\.)*)"\s*(EXACT|RELATED|BROAD|NARROW)?')
+
+
+def is_obo(content: str) -> bool:
+    head = content[:2000]
+    return head.lstrip().startswith("format-version:") or "\n[Term]" in head
+
+
+def parse_obo(content: str, source_name: str) -> list[dict]:
+    """OBO 1.2 flat file -> statements rows (same shape as the RDF/XML
+    parser). Mapping: [Term] -> owl:Class (name/synonym/is_a/
+    relationship-as-someValuesFrom/equivalent_to); [Typedef] ->
+    owl:ObjectProperty (is_transitive, is_a -> subPropertyOf,
+    holds_over_chain / transitive_over -> propertyChainAxiom)."""
+    rows: list[dict] = []
+    bn_counter = 0
+
+    def stmt(stanza, subject, predicate, obj=None, value=None, language=None):
+        rows.append(
+            dict(stanza=stanza, subject=subject, predicate=predicate,
+                 object=obj, value=value,
+                 datatype="xsd:string" if value is not None else None,
+                 language=language, graph=None)
+        )
+
+    onto = f"obo:{source_name.lower()}.owl"
+    header_done = False
+    cur_id: str | None = None
+    cur_kind: str | None = None
+
+    def chain_stmts(owner: str, members: list[str]) -> None:
+        nonlocal bn_counter
+        bns = []
+        for _ in members:
+            bns.append(f"_:obochain_{source_name}_{bn_counter:06d}")
+            bn_counter += 1
+        stmt(owner, owner, "owl:propertyChainAxiom", obj=bns[0])
+        for i, m in enumerate(members):
+            nxt = bns[i + 1] if i + 1 < len(members) else "rdf:nil"
+            stmt(owner, bns[i], "rdf:first", obj=m)
+            stmt(owner, bns[i], "rdf:rest", obj=nxt)
+
+    for raw_line in content.splitlines():
+        line = raw_line.split(" ! ")[0].strip()  # drop trailing comments
+        if not line:
+            continue
+        if line.startswith("["):
+            cur_kind = line.strip("[]").lower()
+            cur_id = None
+            header_done = True
+            continue
+        if ":" not in line:
+            continue
+        tag, val = line.split(":", 1)
+        tag, val = tag.strip(), val.strip()
+        if not header_done:
+            if tag == "ontology":
+                onto = f"obo:{val.lower()}.owl"
+                stmt(onto, onto, "rdf:type", obj="owl:Ontology")
+            continue
+        if tag == "id":
+            cur_id = val
+            if cur_kind == "term":
+                stmt(cur_id, cur_id, "rdf:type", obj="owl:Class")
+            elif cur_kind == "typedef":
+                stmt(cur_id, cur_id, "rdf:type", obj="owl:ObjectProperty")
+            continue
+        if cur_id is None or cur_kind not in ("term", "typedef"):
+            continue
+        if tag == "name":
+            stmt(cur_id, cur_id, "rdfs:label", value=val)
+        elif tag == "synonym" and cur_kind == "term":
+            m = _OBO_SYN_RE.match(val)
+            if m:
+                pred = _OBO_SYN_SCOPE.get(m.group(2) or "RELATED", "oio:hasRelatedSynonym")
+                stmt(cur_id, cur_id, pred, value=m.group(1).replace('\\"', '"'))
+        elif tag == "is_a":
+            pred = "rdfs:subClassOf" if cur_kind == "term" else "rdfs:subPropertyOf"
+            stmt(cur_id, cur_id, pred, obj=val)
+        elif tag == "equivalent_to" and cur_kind == "term":
+            stmt(cur_id, cur_id, "owl:equivalentClass", obj=val)
+        elif tag == "relationship" and cur_kind == "term":
+            parts = val.split()
+            if len(parts) >= 2:
+                bn = f"_:obor_{source_name}_{bn_counter:06d}"
+                bn_counter += 1
+                stmt(cur_id, cur_id, "rdfs:subClassOf", obj=bn)
+                stmt(cur_id, bn, "owl:onProperty", obj=parts[0])
+                stmt(cur_id, bn, "owl:someValuesFrom", obj=parts[1])
+        elif tag == "is_transitive" and cur_kind == "typedef" and val == "true":
+            stmt(cur_id, cur_id, "rdf:type", obj="owl:TransitiveProperty")
+        elif tag == "holds_over_chain" and cur_kind == "typedef":
+            members = val.split()
+            if len(members) >= 2:
+                chain_stmts(cur_id, members)
+        elif tag == "transitive_over" and cur_kind == "typedef":
+            # p transitive_over q  ==  p o q subPropertyOf p
+            chain_stmts(cur_id, [cur_id, val])
+        elif tag == "is_obsolete" and val == "true":
+            stmt(cur_id, cur_id, "owl:deprecated", value="true")
+    return rows
+
+
 def parse_document(content: str, source_name: str) -> list[dict]:
     if is_functional_syntax(content):
         return parse_functional_syntax(content, source_name)
+    if is_obo(content):
+        return parse_obo(content, source_name)
     return parse_owl_xml(content, source_name)
 
 

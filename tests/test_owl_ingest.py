@@ -233,3 +233,94 @@ def test_object_property_roundtrip_and_entailment(spark):
         # beyond edges already present via the lift of closed part_of
     }
     assert got == want
+
+
+OBO_DOC = """format-version: 1.2
+ontology: ddd
+
+[Term]
+id: DDD:0000001
+name: root thing
+synonym: "the root" EXACT []
+synonym: "rootish" RELATED []
+
+[Term]
+id: DDD:0000002
+name: child thing
+is_a: DDD:0000001 ! root thing
+relationship: part_of DDD:0000001 ! root thing
+equivalent_to: AAA:0000001
+
+[Term]
+id: DDD:0000003
+name: gone thing
+is_obsolete: true
+
+[Typedef]
+id: part_of
+name: part of
+is_transitive: true
+is_a: overlaps
+xref: BFO:0000050
+
+[Typedef]
+id: regulates
+holds_over_chain: regulates part_of
+"""
+
+
+def test_obo_parse():
+    from kbase_cdm_ontologies_spark.sources.owl import parse_document, parse_obo
+
+    rows = parse_obo(OBO_DOC, "ddd")
+    trip = {(r["subject"], r["predicate"], r["object"]) for r in rows}
+    vals = {(r["subject"], r["predicate"], r["value"]) for r in rows if r["value"]}
+    assert ("obo:ddd.owl", "rdf:type", "owl:Ontology") in trip
+    assert ("DDD:0000001", "rdf:type", "owl:Class") in trip
+    assert ("DDD:0000002", "rdfs:subClassOf", "DDD:0000001") in trip
+    assert ("DDD:0000002", "owl:equivalentClass", "AAA:0000001") in trip
+    assert ("DDD:0000001", "rdfs:label", "root thing") in vals
+    assert ("DDD:0000001", "oio:hasExactSynonym", "the root") in vals
+    assert ("DDD:0000001", "oio:hasRelatedSynonym", "rootish") in vals
+    # relationship -> someValuesFrom restriction through a blank node
+    bn = [o for s, p, o in trip if s == "DDD:0000002" and p == "rdfs:subClassOf" and o.startswith("_:")]
+    assert len(bn) == 1
+    assert (bn[0], "owl:onProperty", "part_of") in trip
+    assert (bn[0], "owl:someValuesFrom", "DDD:0000001") in trip
+    # typedefs
+    assert ("part_of", "rdf:type", "owl:ObjectProperty") in trip
+    assert ("part_of", "rdf:type", "owl:TransitiveProperty") in trip
+    assert ("part_of", "rdfs:subPropertyOf", "overlaps") in trip
+    chain_bn = [o for s, p, o in trip if s == "regulates" and p == "owl:propertyChainAxiom"]
+    assert len(chain_bn) == 1
+    assert ("DDD:0000003", "owl:deprecated", "true") in vals
+    # dispatch: parse_document must route .obo content to the OBO parser
+    assert {(r["subject"], r["predicate"], r["object"]) for r in parse_document(OBO_DOC, "ddd")} == trip
+
+
+def test_obo_through_distributed_ingest_and_entailment(spark):
+    """A .obo file through the binaryFile->parse->entail path must not
+    crash (round-1 defect: extension filter admitted .obo, parser threw)
+    and must entail the transitive part_of closure it declares."""
+    obo2 = OBO_DOC + """
+[Term]
+id: DDD:0000004
+name: grandchild
+relationship: part_of DDD:0000002
+"""
+    df = spark.createDataFrame(
+        [("/onto/ddd.obo", obo2.encode())], "path string, content binary"
+    )
+    stmts = owl_documents_to_statements(df)
+    from kbase_cdm_ontologies_spark.operators.closure import entail
+    from kbase_cdm_ontologies_spark.plans.pipeline import class_node_ids
+
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in entail(stmts, class_node_ids(stmts)).collect()
+    }
+    # part_of is transitive: grandchild part_of root via child, lifted
+    # to overlaps through the subproperty
+    assert ("DDD:0000004", "part_of", "DDD:0000002") in got
+    assert ("DDD:0000004", "part_of", "DDD:0000001") in got
+    assert ("DDD:0000004", "overlaps", "DDD:0000001") in got
