@@ -36,6 +36,7 @@ HEADLINE = [
     "kg_cooccurrence_edges",
     "kg_connected_components",
     "kg_transitive_closure",
+    "kg_property_closure",
     "dedup_lsh_banded",
     "dedup_jaccard",
     "ann_cosine_scores",

@@ -62,11 +62,48 @@ def _round(e: DataFrame) -> DataFrame:
     return nbr.unionByName(selfe).dropDuplicates()
 
 
+def _local_union_find(rows) -> list[tuple]:
+    """Union-find with union-by-min over collected (u, v) edges:
+    the root of every set is its minimum member, so find(x) IS the
+    canonical id. Returns (node, canonical) for every non-root node."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        lo, hi = (ru, rv) if ru < rv else (rv, ru)
+        parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
-    pairs: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 30
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """pairs(src, dst) undirected -> (id, canonical) for every node
     appearing in pairs; canonical = min id of the component.
+
+    Hybrid execution: the large/small-star rounds run distributed while
+    the edge set exceeds `local_threshold`; once it contracts below it
+    (each round is connectivity-preserving, so any intermediate edge set
+    yields the same components), the remainder is solved with one
+    driver-side union-find — iterative Spark rounds on a graph that fits
+    one task are pure scheduler latency. At 100 TB the first rounds do
+    the heavy lifting distributed; the contracted tail (≤ ~16 MB of id
+    pairs at the default threshold) finishes in milliseconds locally.
+    Set local_threshold=0 to force the fully distributed loop.
 
     max_rounds=30 bounds the loop (log2 of any practical component
     count); a non-converged exit raises — the divergence alarm the
@@ -100,8 +137,12 @@ def connected_components(
         return int(row["n"]), int(row["h"])
 
     converged = False
+    local = False
     sig_prev = _sig(e)
     for _ in range(max_rounds):
+        if sig_prev[0] <= local_threshold:
+            local = True
+            break
         e2 = _round(e).localCheckpoint(eager=False)
         sig_new = _sig(e2)
         # (count, hash) equality is the cheap per-round test; only a
@@ -113,9 +154,17 @@ def connected_components(
             converged = True
             break
         e, sig_prev = e2, sig_new
-    if not converged:
+    if local:
+        pairs_local = _local_union_find(
+            [(r["u"], r["v"]) for r in e.collect()]
+        )
+        stars = e.sparkSession.createDataFrame(
+            pairs_local, schema=e.select("u", F.col("v").alias("canonical")).schema
+        )
+    elif not converged:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
-    stars = e.groupBy("u").agg(F.min("v").alias("canonical"))
+    else:
+        stars = e.groupBy("u").agg(F.min("v").alias("canonical"))
     roots = nodes.join(stars, "u", "left_anti").select(
         "u", F.col("u").alias("canonical")
     )

@@ -58,17 +58,59 @@ def prune_for_closure(statements: DataFrame) -> DataFrame:
     )
 
 
+def _local_closure(rows: list[tuple], pair_cap: int) -> list[tuple] | None:
+    """Driver-side BFS closure over collected (key, s, o) edges; returns
+    None when the closure exceeds pair_cap (dense graph -> the caller
+    falls back to the distributed loop). Used for contracted/tail
+    inputs where iterative Spark rounds are pure scheduler latency."""
+    adj: dict = {}
+    for k, s, o in rows:
+        adj.setdefault(k, {}).setdefault(s, set()).add(o)
+    out: list[tuple] = []
+    for k, g in adj.items():
+        for s in g:
+            seen: set = set()
+            stack = list(g[s])
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                stack.extend(g.get(x, ()))
+            seen.discard(s)
+            out.extend((k, s, o) for o in seen)
+            if len(out) > pair_cap:
+                return None
+    return out
+
+
 def transitive_closure(
-    edges: DataFrame, src: str = "s", dst: str = "o", max_rounds: int = 20
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "o",
+    max_rounds: int = 20,
+    local_threshold: int = 20_000,
 ) -> DataFrame:
     """All (s, o) pairs with a directed path s ->+ o (non-reflexive).
-    Path doubling: max_rounds=20 covers diameter 2^20."""
+    Path doubling: max_rounds=20 covers diameter 2^20.
+
+    Hybrid execution like connected_components: edge sets under
+    local_threshold are closed with one driver-side BFS (guarded by a
+    pair cap — a dense closure falls back to the distributed loop);
+    larger inputs run the path-doubling rounds. local_threshold=0
+    forces the distributed loop."""
     c = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("o"))
         .where(F.col("s") != F.col("o"))
         .dropDuplicates()
         .localCheckpoint(eager=False)
     )
+    if local_threshold and c.count() <= local_threshold:
+        closed = _local_closure([("_", r["s"], r["o"]) for r in c.collect()], 5_000_000)
+        if closed is not None:
+            return c.sparkSession.createDataFrame(
+                [(s, o) for _k, s, o in closed], schema=c.schema
+            )
     # the closure set grows monotonically (union each round), so count
     # equality IS set equality — one count per round, carried forward,
     # and the count action doubles as the lazy checkpoint materializer
@@ -131,13 +173,15 @@ def keyed_transitive_closure(
     src: str = "s",
     dst: str = "o",
     max_rounds: int = 20,
+    local_threshold: int = 20_000,
 ) -> DataFrame:
     """Per-key path-doubling transitive closure: within every key group
     (one group per transitive property), all (s, o) with a path s ->+ o.
     One DataFrame loop closes EVERY transitive property simultaneously —
     the join key is (key, mid node), so hub middle nodes of one property
     don't serialize the others, and AQE's skew-join splits hot (p, mid)
-    keys at scale."""
+    keys at scale. Small inputs take the driver-BFS fast path (same
+    hybrid pattern as transitive_closure)."""
     c = (
         edges.select(F.col(key).alias("p"), F.col(src).alias("s"), F.col(dst).alias("o"))
         .where(F.col("s") != F.col("o"))
@@ -145,6 +189,12 @@ def keyed_transitive_closure(
         .localCheckpoint(eager=False)
     )
     n_prev = c.count()
+    if local_threshold and n_prev <= local_threshold:
+        closed = _local_closure(
+            [(r["p"], r["s"], r["o"]) for r in c.collect()], 5_000_000
+        )
+        if closed is not None:
+            return c.sparkSession.createDataFrame(closed, schema=c.schema)
     for _ in range(max_rounds):
         hop = (
             c.alias("a")
@@ -279,25 +329,54 @@ def property_closure(
     chain_df = (
         F.broadcast(spark.createDataFrame(chains, ["p1", "p2", "r"])) if chains else None
     )
+    p1s = {c[0] for c in chains}
+    p2s = {c[1] for c in chains}
+
+    def compose_chains(df: DataFrame) -> DataFrame:
+        # pre-filter both join inputs to the properties the chain table
+        # can actually consume — the shuffle carries only chain feed
+        return (
+            df.where(F.col("p").isin(*p1s)).alias("a")
+            .join(chain_df, F.col("a.p") == F.col("p1"))
+            .join(
+                df.where(F.col("p").isin(*p2s)).alias("b").hint("shuffle_hash"),
+                (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
+            )
+            .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
+        )
+
+    def close_transitive(df: DataFrame) -> DataFrame:
+        closed_t = keyed_transitive_closure(df.where(F.col("p").isin(*transitive)), key="p")
+        return df.unionByName(closed_t.select("s", "p", "o"))
+
+    # static schedule proof (driver-side, schema is tiny): hierarchy
+    # expansion BEFORE the keyed TC already puts every subproperty edge
+    # into its transitive supers, so one expand -> TC -> expand closes
+    # all of T in one shot. A single chain pass then suffices unless a
+    # chain target (or one of its supers) is transitive or re-enters a
+    # chain slot — only then does the outer fixpoint loop run.
+    def up(p: str) -> set[str]:
+        return hierarchy.get(p, {p}) | {p}
+
+    one_pass = all(
+        not (up(c[2]) & transitive) and not (up(c[2]) & (p1s | p2s))
+        for c in chains
+    )
+    if one_pass:
+        new = close_transitive(r) if transitive else r
+        if chain_df is not None:
+            new = expand_hierarchy(new.where(F.col("s") != F.col("o")).dropDuplicates())
+            new = new.unionByName(compose_chains(new))
+        out = expand_hierarchy(new.where(F.col("s") != F.col("o")).dropDuplicates())
+        return out.where(~F.col("p").startswith("_:step_"))
+
     n_prev = r.count()
     for _ in range(max_rounds):
         new = r
         if transitive:
-            closed_t = keyed_transitive_closure(
-                r.where(F.col("p").isin(*transitive)), key="p"
-            )
-            new = new.unionByName(closed_t.select("s", "p", "o"))
+            new = close_transitive(new)
         if chain_df is not None:
-            comp = (
-                new.alias("a")
-                .join(chain_df, F.col("a.p") == F.col("p1"))
-                .join(
-                    new.alias("b").hint("shuffle_hash"),
-                    (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
-                )
-                .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
-            )
-            new = new.unionByName(comp)
+            new = new.unionByName(compose_chains(new))
         r = (
             expand_hierarchy(new.where(F.col("s") != F.col("o")).dropDuplicates())
             .localCheckpoint(eager=False)

@@ -53,23 +53,15 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
-) -> DataFrame:
-    """(id, seed, sig): k md5-based min-hashes over the token set.
-    hash_i(tok) = md5(i || ':' || tok) — engine-portable determinism.
+def minhash_signatures_from_tokens(toks: DataFrame, k: int = 8) -> DataFrame:
+    """(id, seed, sig) from a prepared (id, token) frame — the shared
+    signature stage: compute tokens ONCE (persist at the call site) and
+    feed both candidate generation and exact verification.
 
     Shape: ONE groupBy with k min-aggregates (map-side combined), then
     an unpivot — not a tokens×seeds crossJoin, which would multiply the
     shuffle volume by k. Duplicate tokens need no distinct: min() is
-    idempotent, so the pre-shuffle dedup shuffle is skipped too."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("token"),
-        )
-        .where(F.col("token") != "")
-    )
+    idempotent."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token")))).alias(f"_s{s}")
         for s in range(k)
@@ -79,6 +71,23 @@ def minhash_signatures(
     return wide.select(
         "id", F.expr(f"stack({k}, {stack}) AS (seed, sig)")
     ).select("id", F.col("seed").cast("int").alias("seed"), "sig")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """(id, seed, sig): k md5-based min-hashes over the token set.
+    hash_i(tok) = md5(i || ':' || tok) — engine-portable determinism.
+    Standalone form: explodes tokens without distinct (min() makes the
+    dedup shuffle unnecessary)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    return minhash_signatures_from_tokens(toks, k)
 
 
 def minhash_candidate_pairs(
@@ -105,13 +114,21 @@ def banded_lsh_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket: int = 1000,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Classic (b, r) MinHash-LSH: signature of b*r hashes, one bucket
     key per band = md5 of the band's r concatenated min-hashes.
     Buckets larger than max_bucket are dropped (boilerplate guard —
-    'no silent caps': caller can count them via lsh_bucket_stats)."""
+    'no silent caps': caller can count them via lsh_bucket_stats).
+
+    tokens_df: optional prepared (id, token) frame — pass a persisted
+    one to share the tokenize stage with the verification pass."""
     k = bands * rows_per_band
-    sig = minhash_signatures(df, id_col, text_col, k).withColumn(
+    if tokens_df is not None:
+        sig = minhash_signatures_from_tokens(tokens_df, k)
+    else:
+        sig = minhash_signatures(df, id_col, text_col, k)
+    sig = sig.withColumn(
         "band", (F.col("seed") / rows_per_band).cast("int")
     )
     band_key = (
@@ -139,10 +156,16 @@ def jaccard_pairs(
     text_col: str,
     candidates: DataFrame,
     threshold: float = 0.5,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard over candidate pairs:
-    (id_a, id_b, jaccard) with jaccard >= threshold."""
-    toks = tokens(df, id_col, text_col)
+    (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    Token-level join form: shuffles (id, token) rows — robust when
+    single documents are huge. For bounded-size documents prefer
+    jaccard_pairs_sets (one array_intersect per pair, no token-level
+    fan-out shuffle)."""
+    toks = tokens_df if tokens_df is not None else tokens(df, id_col, text_col)
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     ta = toks.select(F.col("id").alias("id_a"), "token")
     tb = toks.select(F.col("id").alias("id_b"), "token")
@@ -160,6 +183,30 @@ def jaccard_pairs(
             "id_b",
             (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
         )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_sets(
+    toks: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over candidates via per-doc token arrays:
+    two equi-joins + one JVM array_intersect per pair, instead of the
+    token-level fan-out join + groupBy of jaccard_pairs. The right
+    shape when per-document token sets are bounded (web pages): the
+    heavy shuffle is two (id -> array) joins on the candidate ids, and
+    intersections never leave whole-stage codegen."""
+    sets = toks.groupBy("id").agg(F.collect_set("token").alias("tset"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ta"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("tset").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

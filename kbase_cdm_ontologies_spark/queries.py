@@ -1013,8 +1013,13 @@ def dedup_lsh_banded(spark, sf_dir):
 )
 def dedup_jaccard(spark, sf_dir):
     docs = _duped_docs(spark, sf_dir)
-    cand = dedup.banded_lsh_pairs(docs, "doc_id", "text", 4, 2, max_bucket=1000)
-    out = dedup.jaccard_pairs(docs, "doc_id", "text", cand, threshold=0.5)
+    # shared signature stage: tokenize once (persisted), feed both the
+    # LSH candidate generator and the exact set-based verifier
+    toks = dedup.tokens(docs, "doc_id", "text").persist()
+    cand = dedup.banded_lsh_pairs(
+        docs, "doc_id", "text", 4, 2, max_bucket=1000, tokens_df=toks
+    )
+    out = dedup.jaccard_pairs_sets(toks, cand, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

@@ -62,3 +62,23 @@ def test_apply_canonical(spark):
     df = spark.createDataFrame([("b", "x"), ("z", "c"), ("q", "q")], ["s", "o"])
     got = {(r["s"], r["o"]) for r in apply_canonical(df, cmap, ["s", "o"]).collect()}
     assert got == {("a", "x"), ("z", "a"), ("q", "q")}
+
+
+@pytest.mark.parametrize("seed,n,m", [(4, 80, 100), (5, 40, 30)])
+def test_hybrid_matches_forced_distributed(spark, seed, n, m):
+    """All three execution regimes agree: pure-local (threshold above
+    the edge count), fully distributed (threshold 0), and mixed
+    (threshold hit after a couple of contraction rounds)."""
+    rng = random.Random(seed)
+    pairs = [
+        (f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}") for _ in range(m)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    want = _oracle(pairs)
+    for thr in (10**6, 0, max(1, len(set(pairs)) // 2)):
+        got = {
+            r["id"]: r["canonical"]
+            for r in connected_components(df, local_threshold=thr).collect()
+        }
+        assert got == want, f"threshold={thr}"

@@ -11,9 +11,12 @@ from kbase_cdm_ontologies_spark.operators.closure import (
 )
 
 
-def _tc(spark, edges):
+def _tc(spark, edges, local_threshold=20_000):
     df = spark.createDataFrame(edges, ["s", "o"])
-    return {(r["s"], r["o"]) for r in transitive_closure(df).collect()}
+    return {
+        (r["s"], r["o"])
+        for r in transitive_closure(df, local_threshold=local_threshold).collect()
+    }
 
 
 def test_chain(spark):
@@ -116,7 +119,9 @@ def test_long_chain_path_doubling(spark):
 
 
 def test_random_dag_matches_bfs(spark):
-    """Random DAG (edges only i -> j with j > i) vs hand-rolled BFS."""
+    """Random DAG (edges only i -> j with j > i) vs hand-rolled BFS,
+    in BOTH execution regimes (driver-BFS fast path and the forced
+    distributed path-doubling loop)."""
     import random
 
     rng = random.Random(7)
@@ -129,6 +134,7 @@ def test_random_dag_matches_bfs(spark):
         }
     )
     got = _tc(spark, edges)
+    assert got == _tc(spark, edges, local_threshold=0)  # distributed path
     adj = {}
     for s, o in edges:
         adj.setdefault(s, set()).add(o)
@@ -292,6 +298,11 @@ def test_keyed_transitive_closure_matches_per_key_bfs(spark):
     })
     df = spark.createDataFrame(edges, ["p", "s", "o"])
     got = {(r["p"], r["s"], r["o"]) for r in keyed_transitive_closure(df).collect()}
+    got_dist = {
+        (r["p"], r["s"], r["o"])
+        for r in keyed_transitive_closure(df, local_threshold=0).collect()
+    }
+    assert got == got_dist
     want = set()
     for key in {e[0] for e in edges}:
         adj = {}
