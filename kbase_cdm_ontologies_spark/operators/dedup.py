@@ -263,6 +263,45 @@ def embedding_near_dup(
     )
 
 
+def embedding_near_dup_bucketed(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    seed: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The SCALE path for embedding near-dup: LSH-bucket first (seeded
+    hyperplane signs), exact cosine only within buckets — the join is
+    an equi-join on the bucket key instead of the all-pairs range join
+    of embedding_near_dup. Recall is governed by n_planes (each plane
+    halves the candidate space and can split a true pair); composition
+    is deterministic (md5-seeded planes), so it sits under the DuckDB
+    oracle gate in queries.py."""
+    from .similarity import _dot, _norm, _seeded_hyperplanes, lsh_bucket
+
+    planes = _seeded_hyperplanes(dim, n_planes, seed)
+    v = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .where(F.col("nrm") > 0)
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 5).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over the token set, built from the first 16 hex
     chars of md5(token). Bitwise majority vote expressed with built-in

@@ -90,6 +90,35 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     return F.concat(*bits)
 
 
+def _probe_sequence(
+    query_vec: list[float], planes: list[list[float]], n_probes: int
+) -> list[str]:
+    """Query-directed multi-probe sequence (Lv et al., VLDB'07 —
+    public algorithm): the query's own bucket first, then buckets
+    reached by flipping the planes whose decision boundary the query
+    sits closest to (single flips, then pairs), ordered by the total
+    boundary distance of the flipped planes."""
+    dots = [sum(a * b for a, b in zip(query_vec, pl)) for pl in planes]
+    qbits = ["1" if d >= 0 else "0" for d in dots]
+    flips: list[tuple[float, tuple[int, ...]]] = []
+    n = len(planes)
+    for i in range(n):
+        flips.append((abs(dots[i]), (i,)))
+    for i in range(n):
+        for j in range(i + 1, n):
+            flips.append((abs(dots[i]) + abs(dots[j]), (i, j)))
+    flips.sort()
+    probes = ["".join(qbits)]
+    for _, idxs in flips:
+        if len(probes) >= n_probes:
+            break
+        bits = qbits[:]
+        for i in idxs:
+            bits[i] = "0" if bits[i] == "1" else "1"
+        probes.append("".join(bits))
+    return probes
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -98,54 +127,33 @@ def lsh_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket
-    (fall back to brute force when the bucket is tiny is the caller's
-    policy; recall measured in tests)."""
+    plus the n_probes-1 nearest perturbation buckets (multi-probe —
+    recovers the recall a single probe loses at scale without adding
+    hash tables). The bucket predicate is a literal IN-list, so at
+    scale a bucket-partitioned layout prunes scan partitions."""
     dim = len(query_vec)
     planes = _seeded_hyperplanes(dim, n_planes, seed)
     emb = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    qbits = "".join(
-        "1" if sum(a * b for a, b in zip(query_vec, pl)) >= 0 else "0"
-        for pl in planes
-    )
+    probes = _probe_sequence(query_vec, planes, n_probes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        emb.where(F.col("bucket") == qbits)
+        emb.where(F.col("bucket").isin(probes))
         .select("vec_id", cosine_expr(F.col("v"), q).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
 
 
-def ivf_index(
-    embeddings: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Assign each vector to its nearest centroid. Centroids = the
-    first n_centroids vectors by id (deterministic seeding; a k-means
-    refinement would slot in here unchanged). Returns (assigned_df,
-    centroids). At scale the assigned table is written partitioned by
-    centroid_id — probing then prunes partitions at scan time."""
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["v"]])
-        for r in embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .orderBy("vec_id")
-        .limit(n_centroids)
-        .collect()
-    ]
-    emb = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
+def _assign(emb: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, v, centroid_id): nearest centroid by cosine — the
+    centroid vectors are plan literals, so assignment is one scan
+    inside whole-stage codegen (no join, no shuffle)."""
     sims = [
         cosine_expr(F.col("v"), F.array(*[F.lit(x) for x in cv])).alias(f"c{cid}")
         for cid, cv in cents
@@ -155,10 +163,54 @@ def ivf_index(
     pick = F.lit(None).cast("int")
     for cid, _ in cents:
         pick = F.when(F.col(f"c{cid}") == F.col("_best"), F.lit(cid)).otherwise(pick)
-    assigned = withsims.withColumn("_best", best).select(
+    return withsims.withColumn("_best", best).select(
         "vec_id", "v", pick.alias("centroid_id")
     )
-    return assigned, cents
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 3,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Assign each vector to its nearest centroid after n_iters rounds
+    of Lloyd's k-means (deterministic init: first n_centroids vectors
+    by id — no RNG, reruns identical). Each round is one assignment
+    scan + one mean-per-(centroid, dim) aggregation (posexplode ->
+    partial-aggregating avg -> centroids collected to the driver;
+    centroid tables are tiny by construction). Returns (assigned_df,
+    centroids). At scale the assigned table is written partitioned by
+    centroid_id — probing then prunes partitions at scan time."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in emb.orderBy("vec_id").limit(n_centroids).collect()
+    ]
+    for _ in range(max(0, n_iters)):
+        assigned = _assign(emb, cents)
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        # empty centroids keep their previous position (standard Lloyd)
+        cents = [
+            (
+                cid,
+                [by_cid[cid][p] for p in range(len(cv))] if cid in by_cid else cv,
+            )
+            for cid, cv in cents
+        ]
+    return _assign(emb, cents), cents
 
 
 def ivf_topk(

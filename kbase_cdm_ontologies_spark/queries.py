@@ -1045,6 +1045,44 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def _bucketed_neardup_oracle() -> str:
+    """DuckDB oracle for the bucketed composition: the md5-seeded
+    hyperplanes are deterministic literals, so the SAME planes are
+    embedded into the SQL — both engines compute identical bucket bits
+    (sequential float64 dot products) and identical 5-dp cosines."""
+    from .operators.similarity import _seeded_hyperplanes
+
+    planes = _seeded_hyperplanes(64, 4, seed=9)
+    bucket = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in pl)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for pl in planes
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {bucket} AS bucket
+      FROM v WHERE list_dot_product(v, v) > 0
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 5) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 5) >= 0.3
+    """
+
+
+@q("dedup_embedding_lsh_bucketed", _bucketed_neardup_oracle())
+def dedup_embedding_lsh_bucketed(spark, sf_dir):
+    """The documented scale path (bucket-then-verify) under the oracle
+    gate — not just its two parts separately."""
+    return dedup.embedding_near_dup_bucketed(
+        _t(spark, sf_dir, "embeddings"), dim=64, n_planes=4, seed=9, threshold=0.3
+    )
+
+
 @q("dedup_simhash")  # no SQL oracle: bit-level simhash (rows-only check)
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(_duped_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
@@ -1091,7 +1129,7 @@ def ann_lsh_topk(spark, sf_dir):
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
-    return similarity.lsh_topk(emb, qvec, k=10, n_planes=6)
+    return similarity.lsh_topk(emb, qvec, k=10, n_planes=6, n_probes=8)
 
 
 # ---------------------------------------------------------------------------
