@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import read_table, write_table
+from ..sources.tables import current_snapshot, read_table, write_table
 
 
 def code_hash(*objs) -> str:
@@ -72,12 +72,13 @@ class CheckpointManager:
             and entry["code_hash"] == stage_code_hash
             and entry["inputs_fingerprint"] == inputs_fingerprint
             and os.path.exists(out_path)
+            and self._snapshot_valid(entry, out_path)
         ):
             self.stages_skipped.append(name)
             return read_table(self.spark, out_path)
 
         df = compute()
-        write_table(df, out_path, partition_by=partition_by)
+        snap = write_table(df, out_path, partition_by=partition_by)
         materialized = read_table(self.spark, out_path)
         part_counts = {
             str(r["pid"]): r["rows"]
@@ -93,10 +94,30 @@ class CheckpointManager:
             "output": out_path,
             "row_count": int(sum(part_counts.values())),
             "partition_rows": part_counts,
+            # snapshot-id lineage (Iceberg semantics; fallback commit
+            # log when no catalog): resume re-validates the content sha
+            # so an out-of-band rewrite of the table forces a re-run
+            "snapshot_id": snap["snapshot_id"] if snap else None,
+            "snapshot_sha": snap["content_sha"] if snap else None,
         }
         self._save()
         self.stages_run.append(name)
         return materialized
+
+    @staticmethod
+    def _snapshot_valid(entry: dict, out_path: str) -> bool:
+        recorded = entry.get("snapshot_sha")
+        if recorded is None:  # legacy manifest or live-catalog table
+            return True
+        snap = current_snapshot(out_path)
+        if snap is None or snap["content_sha"] != recorded:
+            return False
+        # the log matching is necessary but not sufficient: recompute
+        # the data-file fingerprint so an out-of-band rewrite that
+        # bypassed write_table (and thus the log) is also caught
+        from ..sources.tables import _table_content_sha
+
+        return _table_content_sha(out_path) == recorded
 
     def metrics_df(self) -> "DataFrame":
         """Per-partition lineage metrics as a queryable DataFrame:

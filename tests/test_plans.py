@@ -97,3 +97,39 @@ def test_tfidf_size_aware_dfreq_join(spark):
 )
 def test_new_queries_run(spark, name):
     assert QUERIES[name](spark, SF_DIR).count() > 0
+
+
+def test_snapshot_commit_log_and_tamper_detection(spark, tmp_path):
+    """write_table commits a snapshot (monotonic id, parent chain,
+    content sha); CheckpointManager resume re-validates the sha so an
+    out-of-band rewrite of a committed table forces a re-run."""
+    import os
+
+    from kbase_cdm_ontologies_spark.plans.checkpoint import CheckpointManager
+    from kbase_cdm_ontologies_spark.sources.tables import (
+        current_snapshot,
+        snapshot_log,
+        write_table,
+    )
+
+    path = str(tmp_path / "t")
+    s1 = write_table(spark.range(5).toDF("x"), path)
+    s2 = write_table(spark.range(9).toDF("x"), path)
+    assert (s1["snapshot_id"], s2["snapshot_id"]) == (1, 2)
+    assert s2["parent_id"] == 1
+    assert current_snapshot(path)["snapshot_id"] == 2
+    assert len(snapshot_log(path)) == 2
+
+    root = str(tmp_path / "ck")
+    ck = CheckpointManager(spark, root)
+    ck.stage("s1", "fp", "code", lambda: spark.range(7).toDF("x"))
+    assert ck.stages_run == ["s1"]
+    ck2 = CheckpointManager(spark, root)
+    ck2.stage("s1", "fp", "code", lambda: spark.range(7).toDF("x"))
+    assert ck2.stages_skipped == ["s1"]  # clean resume skips
+    # tamper: rewrite the committed table behind the manifest's back
+    spark.range(2).toDF("x").write.mode("overwrite").parquet(os.path.join(root, "s1"))
+    ck3 = CheckpointManager(spark, root)
+    out = ck3.stage("s1", "fp", "code", lambda: spark.range(7).toDF("x"))
+    assert ck3.stages_run == ["s1"]  # sha mismatch -> re-ran
+    assert out.count() == 7
