@@ -39,6 +39,7 @@ HEADLINE = [
     "kg_property_closure",
     "dedup_lsh_banded",
     "dedup_jaccard",
+    "dedup_embedding_lsh_bucketed",
     "ann_cosine_scores",
     "text_quality",
     "text_token_stats",

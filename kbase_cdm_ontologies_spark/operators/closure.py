@@ -365,7 +365,12 @@ def property_closure(
     if one_pass:
         new = close_transitive(r) if transitive else r
         if chain_df is not None:
-            new = expand_hierarchy(new.where(F.col("s") != F.col("o")).dropDuplicates())
+            # checkpoint before composing: the chain join reads this
+            # frame on BOTH sides — without it the whole upstream plan
+            # (scan + expands + TC) executes twice in one job
+            new = expand_hierarchy(
+                new.where(F.col("s") != F.col("o")).dropDuplicates()
+            ).localCheckpoint(eager=False)
             new = new.unionByName(compose_chains(new))
         out = expand_hierarchy(new.where(F.col("s") != F.col("o")).dropDuplicates())
         return out.where(~F.col("p").startswith("_:step_"))
@@ -376,6 +381,7 @@ def property_closure(
         if transitive:
             new = close_transitive(new)
         if chain_df is not None:
+            new = new.localCheckpoint(eager=False)  # shared by both join sides
             new = new.unionByName(compose_chains(new))
         r = (
             expand_hierarchy(new.where(F.col("s") != F.col("o")).dropDuplicates())
