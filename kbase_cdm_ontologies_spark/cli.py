@@ -97,14 +97,13 @@ def main(argv: list[str] | None = None) -> int:
             "".join(f"{p}:{h};" for p, h in sig_rows).encode()
         ).hexdigest()
         parsed = owl_documents_to_statements(docs)
+        # per-source grouping by the graph column (source document) —
+        # stanza prefixes don't identify the file for shared property
+        # declarations (BFO/RO) an ontology re-declares
         per_source = {
-            r["src"]: parsed.where(F2.split(F2.col("stanza"), ":").getItem(0) == r["src"])
-            for r in parsed.select(
-                F2.split(F2.col("stanza"), ":").getItem(0).alias("src")
-            )
-            .distinct()
-            .collect()
-            if r["src"] not in ("obo", "_")
+            r["src"]: parsed.where(F2.col("graph") == r["src"])
+            for r in parsed.select(F2.col("graph").alias("src")).distinct().collect()
+            if r["src"]
         }
         stmts = merge_ontologies(per_source) if per_source else parsed
     fingerprint = f"seed={args.seed};pages={args.pages}"

@@ -58,11 +58,15 @@ def prune_for_closure(statements: DataFrame) -> DataFrame:
     )
 
 
-def _local_closure(rows: list[tuple], pair_cap: int) -> list[tuple] | None:
+def _local_closure(
+    rows: list[tuple], pair_cap: int, keep_self: bool = False
+) -> list[tuple] | None:
     """Driver-side BFS closure over collected (key, s, o) edges; returns
     None when the closure exceeds pair_cap (dense graph -> the caller
     falls back to the distributed loop). Used for contracted/tail
-    inputs where iterative Spark rounds are pure scheduler latency."""
+    inputs where iterative Spark rounds are pure scheduler latency.
+    keep_self=True keeps (s, s) pairs reachable via cycles/self-edges
+    (property-edge semantics: x ⊑ ∃p.x is a real entailment)."""
     adj: dict = {}
     for k, s, o in rows:
         adj.setdefault(k, {}).setdefault(s, set()).add(o)
@@ -77,7 +81,8 @@ def _local_closure(rows: list[tuple], pair_cap: int) -> list[tuple] | None:
                     continue
                 seen.add(x)
                 stack.extend(g.get(x, ()))
-            seen.discard(s)
+            if not keep_self:
+                seen.discard(s)
             out.extend((k, s, o) for o in seen)
             if len(out) > pair_cap:
                 return None
@@ -174,6 +179,7 @@ def keyed_transitive_closure(
     dst: str = "o",
     max_rounds: int = 20,
     local_threshold: int = 20_000,
+    keep_self: bool = False,
 ) -> DataFrame:
     """Per-key path-doubling transitive closure: within every key group
     (one group per transitive property), all (s, o) with a path s ->+ o.
@@ -181,17 +187,23 @@ def keyed_transitive_closure(
     the join key is (key, mid node), so hub middle nodes of one property
     don't serialize the others, and AQE's skew-join splits hot (p, mid)
     keys at scale. Small inputs take the driver-BFS fast path (same
-    hybrid pattern as transitive_closure)."""
+    hybrid pattern as transitive_closure).
+
+    keep_self=True keeps (s, s) paths (cycles / asserted self-edges) —
+    required for property-edge semantics where x ⊑ ∃p.x is a real
+    entailment; False gives the strict closure used for subclass."""
+    strip = (lambda df: df) if keep_self else (
+        lambda df: df.where(F.col("s") != F.col("o"))
+    )
     c = (
-        edges.select(F.col(key).alias("p"), F.col(src).alias("s"), F.col(dst).alias("o"))
-        .where(F.col("s") != F.col("o"))
+        strip(edges.select(F.col(key).alias("p"), F.col(src).alias("s"), F.col(dst).alias("o")))
         .dropDuplicates()
         .localCheckpoint(eager=False)
     )
     n_prev = c.count()
     if local_threshold and n_prev <= local_threshold:
         closed = _local_closure(
-            [(r["p"], r["s"], r["o"]) for r in c.collect()], 5_000_000
+            [(r["p"], r["s"], r["o"]) for r in c.collect()], 5_000_000, keep_self
         )
         if closed is not None:
             return c.sparkSession.createDataFrame(closed, schema=c.schema)
@@ -205,8 +217,7 @@ def keyed_transitive_closure(
             .select(F.col("a.p").alias("p"), F.col("a.s").alias("s"), F.col("b.o").alias("o"))
         )
         c = (
-            c.unionByName(hop)
-            .where(F.col("s") != F.col("o"))
+            strip(c.unionByName(hop))
             .dropDuplicates()
             .localCheckpoint(eager=False)
         )
@@ -314,7 +325,10 @@ def property_closure(
     hier_rows = [
         (p, q) for p, qs in hierarchy.items() for q in qs if q != p
     ]
-    r = base_edges.select("s", "p", "o").where(F.col("s") != F.col("o")).dropDuplicates()
+    # self-edges are KEPT throughout: x ⊑ ∃p.x is a legitimate
+    # entailment (e.g. a ⊑ ∃p.c with c ⊑ a), unlike the strict
+    # subclass closure where reflexive rows are added separately
+    r = base_edges.select("s", "p", "o").dropDuplicates()
 
     def expand_hierarchy(df: DataFrame) -> DataFrame:
         if not hier_rows:
@@ -346,7 +360,9 @@ def property_closure(
         )
 
     def close_transitive(df: DataFrame) -> DataFrame:
-        closed_t = keyed_transitive_closure(df.where(F.col("p").isin(*transitive)), key="p")
+        closed_t = keyed_transitive_closure(
+            df.where(F.col("p").isin(*transitive)), key="p", keep_self=True
+        )
         return df.unionByName(closed_t.select("s", "p", "o"))
 
     # static schedule proof (driver-side, schema is tiny): hierarchy
@@ -368,11 +384,9 @@ def property_closure(
             # checkpoint before composing: the chain join reads this
             # frame on BOTH sides — without it the whole upstream plan
             # (scan + expands + TC) executes twice in one job
-            new = expand_hierarchy(
-                new.where(F.col("s") != F.col("o")).dropDuplicates()
-            ).localCheckpoint(eager=False)
+            new = expand_hierarchy(new.dropDuplicates()).localCheckpoint(eager=False)
             new = new.unionByName(compose_chains(new))
-        out = expand_hierarchy(new.where(F.col("s") != F.col("o")).dropDuplicates())
+        out = expand_hierarchy(new.dropDuplicates())
         return out.where(~F.col("p").startswith("_:step_"))
 
     n_prev = r.count()
@@ -384,7 +398,7 @@ def property_closure(
             new = new.localCheckpoint(eager=False)  # shared by both join sides
             new = new.unionByName(compose_chains(new))
         r = (
-            expand_hierarchy(new.where(F.col("s") != F.col("o")).dropDuplicates())
+            expand_hierarchy(new.dropDuplicates())
             .localCheckpoint(eager=False)
         )
         n_new = r.count()

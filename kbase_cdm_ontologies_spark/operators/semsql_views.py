@@ -50,10 +50,20 @@ def semsql_tables(
         .distinct()
     )
 
+    # rdf list cells (property-chain axioms reify through them) are
+    # rdf_list_statement rows in semsql, NOT anonymous class expressions
+    rdf_list_statement = statements.where(
+        F.col("subject").startswith("_:")
+        & F.col("predicate").isin("rdf:first", "rdf:rest")
+    ).select("subject", "predicate", "object", "value", "datatype", "language")
+    list_nodes = rdf_list_statement.select(
+        F.col("subject").alias("id")
+    ).distinct()
     anonymous_class_expression = (
         statements.where(F.col("subject").startswith("_:"))
         .select(F.col("subject").alias("id"))
         .distinct()
+        .join(list_nodes, "id", "left_anti")
     )
 
     return {
@@ -68,10 +78,7 @@ def semsql_tables(
         "anonymous_property_expression": _empty(spark, "id string"),
         "anonymous_individual_expression": _empty(spark, "id string"),
         "anonymous_expression": anonymous_class_expression,
-        "rdf_list_statement": _empty(
-            spark,
-            "subject string, predicate string, object string, value string, datatype string, language string",
-        ),
+        "rdf_list_statement": rdf_list_statement,
         "term_association": _empty(
             spark,
             "id string, subject string, predicate string, object string, evidence_type string, publication string, source string",

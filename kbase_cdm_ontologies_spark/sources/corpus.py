@@ -161,11 +161,40 @@ def _build_ontology(c: Corpus, rng: random.Random) -> dict[str, list[str]]:
     for a, b in c.equiv_pairs:
         c.statements.append(_stmt(a, a, "owl:equivalentClass", obj=b))
 
+    # property schema (relation-graph's property-level entailment
+    # inputs; the golden entailed_edge is dominated by exactly these —
+    # BFO:0000050 transitive, chains like regulates o part_of):
+    #   part_of  = BFO:0000050  : transitive, subPropertyOf overlaps
+    #   overlaps = RO:0002131
+    #   regulates= RO:0002211   : regulates o part_of ⊑ regulates
+    # stanza "AAA" attributes the shared property declarations to the
+    # first core ontology, as OBO files re-declare imported properties —
+    # they must travel through the render -> parse -> merge path
+    for p in ("BFO:0000050", "RO:0002131", "RO:0002211"):
+        c.statements.append(_stmt("AAA", p, "rdf:type", obj="owl:ObjectProperty"))
+    c.statements.append(
+        _stmt("AAA", "BFO:0000050", "rdf:type", obj="owl:TransitiveProperty")
+    )
+    c.statements.append(
+        _stmt("AAA", "BFO:0000050", "rdfs:subPropertyOf", obj="RO:0002131")
+    )
+    c.statements.append(
+        _stmt("AAA", "RO:0002211", "owl:propertyChainAxiom", obj="_:chainr0")
+    )
+    c.statements.append(_stmt("AAA", "_:chainr0", "rdf:first", obj="RO:0002211"))
+    c.statements.append(_stmt("AAA", "_:chainr0", "rdf:rest", obj="_:chainr1"))
+    c.statements.append(_stmt("AAA", "_:chainr1", "rdf:first", obj="BFO:0000050"))
+    c.statements.append(_stmt("AAA", "_:chainr1", "rdf:rest", obj="rdf:nil"))
+
     # someValuesFrom restrictions via blank nodes, as RDF reifies them
-    # (reference: 6,093 owl:someValuesFrom + 6,127 owl:onProperty rows)
+    # (reference: 6,093 owl:someValuesFrom + 6,127 owl:onProperty rows).
+    # AAA:8 -part_of-> AAA:2 -part_of-> AAA:5 exercises Trans(part_of);
+    # BBB:9 -regulates-> BBB:3 -part_of-> BBB:1 exercises the chain.
     rest_specs = [
         (term_id("AAA", 8), "BFO:0000050", term_id("AAA", 2)),
+        (term_id("AAA", 2), "BFO:0000050", term_id("AAA", 5)),
         (term_id("BBB", 9), "RO:0002211", term_id("BBB", 3)),
+        (term_id("BBB", 3), "BFO:0000050", term_id("BBB", 1)),
         (term_id("CCC", 12), "BFO:0000050", term_id("CCC", 1)),
     ]
     for k, (a, p, cc) in enumerate(rest_specs):
@@ -268,11 +297,51 @@ def _closure_oracle(c: Corpus) -> set[tuple[str, str, str]]:
     for n in nodes:
         for a in supers[n]:
             edges.add((n, "rdfs:subClassOf", a))  # includes reflexive n==a
+    # base existential edges, then full property-rule saturation
+    # (SubRole / Trans / Chain — must equal closure.property_closure)
+    prop_edges: set[tuple[str, str, str]] = set()
     for a, p, cc in c.restrictions:
         ca, ccc = canon[a], canon[cc]
         for x in subs.get(ca, {ca}):
             for d in supers.get(ccc, {ccc}):
-                edges.add((x, p, d))
+                prop_edges.add((x, p, d))
+    hierarchy = {"BFO:0000050": {"BFO:0000050", "RO:0002131"}}
+    transitive = {"BFO:0000050"}
+    chains = [("RO:0002211", "BFO:0000050", "RO:0002211")]
+    while True:
+        new = set(prop_edges)
+        for s, p, o in prop_edges:
+            for q in hierarchy.get(p, ()):
+                new.add((s, q, o))
+        for t in transitive:
+            adj: dict[str, set[str]] = {}
+            for s, p, o in new:
+                if p == t:
+                    adj.setdefault(s, set()).add(o)
+            for s in adj:
+                seen: set[str] = set()
+                stack = list(adj[s])
+                while stack:
+                    x = stack.pop()
+                    if x in seen:
+                        continue
+                    seen.add(x)
+                    stack.extend(adj.get(x, ()))
+                new |= {(s, t, o) for o in seen if o != s}
+        for p1, p2, r in chains:
+            lefts = [(s, o) for s, p, o in new if p == p1]
+            rights: dict[str, set[str]] = {}
+            for s, p, o in new:
+                if p == p2:
+                    rights.setdefault(s, set()).add(o)
+            for s, y in lefts:
+                for z in rights.get(y, ()):
+                    if s != z:
+                        new.add((s, r, z))
+        if new == prop_edges:
+            break
+        prop_edges = new
+    edges |= prop_edges
     # individuals: (ind, rdf:type, D) for every D above the asserted
     # class (--output-individuals true semantics)
     for ind, cls in c.individuals:

@@ -532,7 +532,14 @@ def owl_documents_to_statements(docs: DataFrame) -> DataFrame:
                 if raw[:2] == b"\x1f\x8b":
                     raw = gzip.decompress(raw)
                 name = path.rsplit("/", 1)[-1].split(".")[0]
-                out.extend(parse_document(raw.decode("utf-8", "replace"), name))
+                rows = parse_document(raw.decode("utf-8", "replace"), name)
+                # graph column = source document: the per-file identity
+                # that survives merge grouping even for rows whose
+                # stanza is a foreign namespace (shared BFO/RO property
+                # declarations inside an ontology file)
+                for r in rows:
+                    r["graph"] = name
+                out.extend(rows)
             yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
                 {c: pd.Series(dtype="object") for c in cols}
             )

@@ -106,7 +106,7 @@ def test_prune_keeps_only_logic(corpus_dfs):
     preds = {r["predicate"] for r in pruned.select("predicate").distinct().collect()}
     assert "rdfs:label" not in preds and "oio:hasExactSynonym" not in preds
     restr = restriction_axioms(pruned)
-    assert restr.count() == 3
+    assert restr.count() == 5  # incl. the two property-chain fixtures
 
 
 def test_long_chain_path_doubling(spark):

@@ -40,7 +40,10 @@ def _named_triples(rows):
 def _restrictions(rows):
     by_bn = {}
     for r in rows:
-        if r["subject"].startswith("_:"):
+        if r["subject"].startswith("_:") and r["predicate"] in (
+            "owl:onProperty",
+            "owl:someValuesFrom",
+        ):  # chain rdf-list bnodes are compared structurally elsewhere
             by_bn.setdefault((r["stanza"], r["subject"]), {})[r["predicate"]] = r["object"]
     return {
         (stanza, d.get("owl:onProperty"), d.get("owl:someValuesFrom"))
@@ -88,9 +91,7 @@ def test_distributed_ingest_and_merge(spark, corpus):
     assert ontos == {"obo:aaa.owl", "obo:bbb.owl", "obo:ccc.owl"}
 
     per_source = {
-        onto: stmts.where(
-            F.col("stanza").startswith(onto) | F.col("stanza").startswith(f"obo:{onto.lower()}")
-        )
+        onto: stmts.where(F.col("graph") == onto.lower())
         for onto in ("AAA", "BBB", "CCC")
     }
     merged = merge_ontologies(per_source)

@@ -57,5 +57,8 @@ def test_populated_views(spark, corpus, corpus_dfs):
     # the ambiguity fixture IS a lexical problem
     lex = {r["value"] for r in t["lexical_problem"].collect()}
     assert lex == {"omega factor"}
-    assert t["anonymous_class_expression"].count() == 3  # 3 restriction bnodes
+    assert t["anonymous_class_expression"].count() == 5  # 5 restriction bnodes
+    # property-chain rdf list cells are rdf_list_statement rows, NOT
+    # anonymous class expressions
+    assert t["rdf_list_statement"].count() == 4
     assert t["term_association"].count() == 0  # empty-by-tier, schema kept
