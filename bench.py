@@ -224,11 +224,93 @@ def run_scaling(pages: int) -> dict:
     }
 
 
+def run_graph_scale(master: str | None) -> dict:
+    """Distributed-path proof for the iterative graph operators: inputs
+    sized ABOVE the hybrid local-finish thresholds, so the star rounds /
+    path doubling actually run distributed (the regime a 100 TB corpus
+    lives in; the sf0.1 headline numbers exercise the local-finish
+    tail). All inputs derive from spark.range — deterministic, no
+    driver-side materialization."""
+    from pyspark.sql import functions as F
+
+    from kbase_cdm_ontologies_spark.operators.canonicalize import connected_components
+    from kbase_cdm_ontologies_spark.operators.closure import (
+        keyed_transitive_closure,
+        transitive_closure,
+    )
+    from kbase_cdm_ontologies_spark.session import get_spark
+
+    spark = get_spark(app_name="graph-scale", master=master)
+    out: dict = {}
+
+    # CC: 2M-edge graph = 20k chains of length 100 + a 50k-edge hub
+    # component (skew) -> forced through the distributed star rounds
+    n = 2_000_000
+    chains = (
+        spark.range(n)
+        .where((F.col("id") % 100) != 99)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    hub = spark.range(50_000).select(
+        F.lit(-1).alias("src"), (F.col("id") + n + 1).alias("dst")
+    )
+    edges = chains.unionByName(hub)
+    t0 = time.time()
+    cc = connected_components(edges, local_threshold=0)
+    n_nodes = cc.count()
+    cc_sec = round(time.time() - t0, 2)
+    out["cc"] = {
+        "edges": int(edges.count()), "nodes": int(n_nodes), "sec": cc_sec,
+        "edges_per_sec": round(edges.count() / cc_sec),
+    }
+
+    # TC: forest of 1k binary trees x 512 nodes -> closure ~4.1M pairs,
+    # distributed path doubling (above the 20k local threshold)
+    trees = (
+        spark.range(512_000)
+        .where((F.col("id") % 512) != 0)
+        .select(
+            F.col("id").alias("s"),
+            ((F.col("id") - F.col("id") % 512) + ((F.col("id") % 512) / 2).cast("long")).alias("o"),
+        )
+    )
+    t0 = time.time()
+    tc = transitive_closure(trees, local_threshold=0)
+    n_pairs = tc.count()
+    tc_sec = round(time.time() - t0, 2)
+    out["tc"] = {
+        "edges": int(trees.count()), "closure_pairs": int(n_pairs), "sec": tc_sec,
+        "pairs_per_sec": round(n_pairs / tc_sec),
+    }
+
+    # keyed TC: 8 transitive properties x 100k chain edges each,
+    # closed simultaneously in one loop
+    ke = (
+        spark.range(800_000)
+        .select(
+            F.concat(F.lit("p"), (F.col("id") % 8).cast("string")).alias("p"),
+            F.col("id").alias("s"),
+            (F.col("id") + 8).alias("o"),
+        )
+        .where((F.col("id") % 256) < 248)
+    )
+    t0 = time.time()
+    ktc = keyed_transitive_closure(ke, local_threshold=0)
+    k_pairs = ktc.count()
+    k_sec = round(time.time() - t0, 2)
+    out["keyed_tc"] = {
+        "edges": int(ke.count()), "closure_pairs": int(k_pairs), "sec": k_sec,
+        "pairs_per_sec": round(k_pairs / k_sec),
+    }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--no-graph", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--graph-scale", action="store_true")
     ap.add_argument("--pages", type=int, default=int(os.environ.get("BENCH_PAGES", "5000")))
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -238,6 +320,9 @@ def main() -> int:
         return 0
     if args.scaling:
         print(json.dumps(run_scaling(args.pages)))
+        return 0
+    if args.graph_scale:
+        print(json.dumps(run_graph_scale(args.master)))
         return 0
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -153,6 +153,97 @@ def fuzzy_link_best(
     )
 
 
+def tfidf_context_scores(
+    extracted: DataFrame,
+    alias: DataFrame,
+    candidates: DataFrame,
+) -> DataFrame:
+    """(url, term_id, tfidf_cosine) for candidate disambiguation pairs —
+    the north star's "TF-IDF cosine" scoring: each candidate term's
+    pseudo-document is the bag of its aliases, each page's document is
+    its extracted text, both vectorized over ONE shared corpus (so IDF
+    weights are comparable), scored with the sparse inverted-index
+    cosine join restricted to the candidate pairs.
+
+    candidates(url, term_id): the ambiguous pairs to score — both
+    corpus sides are semi-joined down to them before vectorization, so
+    the expensive explode/join work is proportional to the ambiguity
+    set, not the corpus."""
+    from .similarity import cosine_join, tfidf_vectors
+
+    urls = candidates.select("url").distinct()
+    terms = candidates.select("term_id").distinct()
+    page_docs = (
+        extracted.join(urls, "url", "left_semi")
+        .select(F.concat(F.lit("u:"), F.col("url")).alias("id"),
+                F.col("extracted_text").alias("text"))
+    )
+    term_docs = (
+        alias.join(terms, "term_id", "left_semi")
+        .groupBy("term_id")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_set("alias_norm"))).alias("text"))
+        .select(F.concat(F.lit("t:"), F.col("term_id")).alias("id"), "text")
+    )
+    v = tfidf_vectors(page_docs.unionByName(term_docs), "id", "text")
+    va = v.where(F.col("id").startswith("u:"))
+    vb = v.where(F.col("id").startswith("t:"))
+    scores = cosine_join(va, vb).select(
+        F.expr("substring(id_a, 3)").alias("url"),
+        F.expr("substring(id_b, 3)").alias("term_id"),
+        F.col("cosine").alias("tfidf_cosine"),
+    )
+    return candidates.join(scores, ["url", "term_id"], "left").select(
+        "url", "term_id", F.coalesce("tfidf_cosine", F.lit(0.0)).alias("tfidf_cosine")
+    )
+
+
+def link_triples_tfidf(
+    raw_triples: DataFrame,
+    alias_with_counts: DataFrame,
+    extracted: DataFrame,
+) -> DataFrame:
+    """link_triples variant that disambiguates by TF-IDF cosine between
+    the page text and each candidate term's alias bag (ties: min
+    term_id). Same output shape as link_triples; the scoring join runs
+    only over surfaces with >1 dictionary candidate."""
+    triples = raw_triples.dropDuplicates(
+        ["url", "subj_surface", "pred", "obj_surface"]
+    )
+    amb = alias_with_counts.where(F.col("n_candidates") > 1)
+    cand_pairs = (
+        triples.select("url", F.col("subj_surface").alias("alias_norm"))
+        .unionByName(triples.select("url", F.col("obj_surface").alias("alias_norm")))
+        .distinct()
+        .join(F.broadcast(amb.select("alias_norm", "term_id").distinct()), "alias_norm")
+        .select("url", "term_id")
+        .distinct()
+    )
+    scores = tfidf_context_scores(
+        extracted, alias_with_counts.select("term_id", "alias_norm"), cand_pairs
+    )
+
+    def resolve(df: DataFrame, surface_col: str, out_col: str) -> DataFrame:
+        keep = list(df.columns)
+        cand = alias_with_counts.select(
+            F.col("alias_norm").alias(surface_col), "term_id"
+        ).distinct()
+        joined = (
+            df.join(F.broadcast(cand), surface_col)
+            .join(scores, ["url", "term_id"], "left")
+            .withColumn("_score", F.coalesce(F.col("tfidf_cosine"), F.lit(0.0)))
+        )
+        w = Window.partitionBy(*keep).orderBy(F.desc("_score"), F.asc("term_id"))
+        return (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*keep, F.col("term_id").alias(out_col))
+        )
+
+    s = resolve(triples, "subj_surface", "subj_id")
+    out = resolve(s, "obj_surface", "obj_id")
+    return out.select("url", "subj_id", "pred", "obj_id")
+
+
 def link_triples(
     raw_triples: DataFrame,
     alias_with_counts: DataFrame,

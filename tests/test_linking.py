@@ -55,3 +55,52 @@ def test_fuzzy_exact_surface_scores_one(spark, corpus_dfs):
     cand = fuzzy_candidates(surfaces, alias).collect()
     exact = [r for r in cand if r["alias_norm"] == a0]
     assert exact and abs(exact[0]["sim"] - 1.0) < 1e-9
+
+
+def test_tfidf_context_rerank_disambiguates(spark):
+    """TF-IDF strategy: the shared alias 'omega factor' must resolve to
+    the term whose OTHER aliases overlap the page text."""
+    from kbase_cdm_ontologies_spark.operators.linking import (
+        link_triples_tfidf,
+        tfidf_context_scores,
+    )
+
+    alias = spark.createDataFrame(
+        [
+            ("AAA:1", "omega factor", 2, "AAA"),
+            ("BBB:1", "omega factor", 2, "BBB"),
+            ("AAA:1", "alpha kinase", 1, "AAA"),
+            ("BBB:1", "beta channel", 1, "BBB"),
+        ],
+        ["term_id", "alias_norm", "n_candidates", "source_onto"],
+    )
+    extracted = spark.createDataFrame(
+        [
+            ("u1", "the omega factor binds the alpha kinase pathway"),
+            ("u2", "omega factor opens the beta channel gate"),
+        ],
+        ["url", "extracted_text"],
+    )
+    triples = spark.createDataFrame(
+        [
+            ("u1", "omega factor", "kg:activates", "alpha kinase"),
+            ("u2", "omega factor", "kg:activates", "beta channel"),
+        ],
+        ["url", "subj_surface", "pred", "obj_surface"],
+    )
+    got = {
+        (r["url"], r["subj_id"], r["obj_id"])
+        for r in link_triples_tfidf(triples, alias, extracted).collect()
+    }
+    assert got == {("u1", "AAA:1", "AAA:1"), ("u2", "BBB:1", "BBB:1")}
+    # score surface: candidate pairs get comparable scores, right one wins
+    cand = spark.createDataFrame(
+        [("u1", "AAA:1"), ("u1", "BBB:1")], ["url", "term_id"]
+    )
+    s = {
+        r["term_id"]: r["tfidf_cosine"]
+        for r in tfidf_context_scores(
+            extracted, alias.select("term_id", "alias_norm"), cand
+        ).collect()
+    }
+    assert s["AAA:1"] > s["BBB:1"]
