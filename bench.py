@@ -44,6 +44,8 @@ HEADLINE = [
     "text_quality",
     "text_token_stats",
     "text_fingerprint",
+    "text_chunking",
+    "web_url_normalize",
     "iri_normalize",
     "curie_compact",
     "top5_customer_sample_per_nation",

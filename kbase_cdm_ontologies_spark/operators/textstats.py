@@ -110,3 +110,79 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rolling-hash style near-identity key used for fast dedup joins."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, host, path, url_norm): Common-Crawl-style URL
+    canonicalization — lowercase scheme+host, strip fragment, strip
+    common tracking params (utm_*, fbclid, gclid), drop trailing slash,
+    default-scheme http. Pure regexp (JVM, codegen) so the same rules
+    are expressible in any engine; at 10^12 pages url_norm is the
+    per-document join/dedup key."""
+    u = F.col(url_col)
+    # strip fragment first, then split
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    host = F.lower(F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)", 1))
+    path = F.regexp_extract(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    # drop tracking params from the query string (token-level regex)
+    q_clean = F.regexp_replace(
+        query, r"(^|&)(utm_[A-Za-z]+|fbclid|gclid)=[^&]*", ""
+    )
+    q_clean = F.regexp_replace(q_clean, r"^&+", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    path_norm = F.when(F.col("_p") == "", F.lit("/")).otherwise(
+        F.regexp_replace(F.col("_p"), r"/+$", "")
+    )
+    out = (
+        df.withColumn("_p", path)
+        .withColumn("host", host)
+        .withColumn(
+            "url_norm",
+            F.concat(
+                F.when(scheme == "", F.lit("http")).otherwise(scheme),
+                F.lit("://"),
+                host,
+                F.when(path_norm == "", F.lit("/")).otherwise(path_norm),
+                F.when(q_clean != "", F.concat(F.lit("?"), q_clean)).otherwise(F.lit("")),
+            ),
+        )
+        .withColumn("path", F.when(F.col("_p") == "", F.lit("/")).otherwise(F.col("_p")))
+        .drop("_p")
+    )
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens): sliding-window passage
+    chunking over whitespace tokens — the passage-extraction step of a
+    training-data/RAG pipeline. Stride = chunk_tokens - overlap; the
+    final partial window is kept. All JVM-side (split + sequence +
+    transform + posexplode): one narrow pass, no shuffle, so it
+    pipelines with the scan at any corpus size."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .where(F.col("chunk_text") != "")
+        .withColumn("n_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+    )

@@ -1285,6 +1285,94 @@ def approx_distinct_stats(spark, sf_dir):
     )
 
 
+_URL_DERIVE_SQL = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0
+               THEN 'HTTP://Example.COM/d/' || doc_id || '/?utm_source=x&q=' || doc_id || '#frag'
+             WHEN doc_id % 4 = 1
+               THEN 'https://Foo.ORG'
+             WHEN doc_id % 4 = 2
+               THEN 'http://bar.net/p/' || doc_id || '/?fbclid=zz&keep=1'
+             ELSE 'https://baz.io/x/' || doc_id END AS url
+      FROM documents
+"""
+
+
+@q(
+    "web_url_normalize",
+    f"""
+    WITH u AS ({_URL_DERIVE_SQL}),
+    nf AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS no_frag FROM u),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(no_frag, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)', 1)) AS host,
+        regexp_extract(no_frag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)', 1) AS p,
+        regexp_extract(no_frag, '\\?(.*)$', 1) AS query,
+        lower(regexp_extract(no_frag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme
+      FROM nf
+    ), cleaned AS (
+      SELECT doc_id, url, host, p, scheme,
+        regexp_replace(regexp_replace(query,
+            '(^|&)(utm_[A-Za-z]+|fbclid|gclid)=[^&]*', '', 'g'), '^&+', '') AS q_clean,
+        CASE WHEN p = '' THEN '/' ELSE regexp_replace(p, '/+$', '') END AS path_norm
+      FROM parts
+    )
+    SELECT doc_id, url, host,
+      CASE WHEN p = '' THEN '/' ELSE p END AS path,
+      (CASE WHEN scheme = '' THEN 'http' ELSE scheme END) || '://' || host ||
+      (CASE WHEN path_norm = '' THEN '/' ELSE path_norm END) ||
+      (CASE WHEN q_clean <> '' THEN '?' || q_clean ELSE '' END) AS url_norm
+    FROM cleaned
+    """,
+)
+def web_url_normalize(spark, sf_dir):
+    """Common-Crawl URL canonicalization (host/path extraction, tracking
+    param strip) — the per-document key derivation of a web-scale
+    pipeline, pure JVM regexp."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = (
+        F.when(k % 4 == 0, F.concat(F.lit("HTTP://Example.COM/d/"), k, F.lit("/?utm_source=x&q="), k, F.lit("#frag")))
+        .when(k % 4 == 1, F.lit("https://Foo.ORG"))
+        .when(k % 4 == 2, F.concat(F.lit("http://bar.net/p/"), k, F.lit("/?fbclid=zz&keep=1")))
+        .otherwise(F.concat(F.lit("https://baz.io/x/"), k))
+    )
+    return textstats.normalize_urls(d.select("doc_id", url.alias("url"))).select(
+        "doc_id", "url", "host", "path", "url_norm"
+    )
+
+
+@q(
+    "text_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS tl
+      FROM documents WHERE trim(text) <> ''
+    ), starts AS (
+      SELECT id, tl, unnest(range(0, greatest(len(tl), 1), 24)) AS s FROM toks
+    )
+    SELECT id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(tl, s + 1, least(s + 32, len(tl))), ' ') AS chunk_text,
+           CAST(len(list_slice(tl, s + 1, least(s + 32, len(tl)))) AS BIGINT) AS n_tokens
+    FROM starts
+    WHERE array_to_string(list_slice(tl, s + 1, least(s + 32, len(tl))), ' ') <> ''
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Sliding-window passage chunking (chunk=32 tokens, overlap=8) —
+    the passage-extraction step of a training-data pipeline; one narrow
+    JVM pass, pipelines with the scan."""
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 @q("streaming_sessionization")  # stateful (applyInPandasWithState): rows-only
 def streaming_sessionization(spark, sf_dir):
     from .streaming.stateful import sessionize_stream

@@ -137,3 +137,47 @@ def test_ngram_shingles_short_docs_yield_nothing(spark):
     )
     rows = dedup.ngram_shingles(df, "doc_id", "text", 3).collect()
     assert {(r["id"], r["shingle"]) for r in rows} == {(5, "a b c")}
+
+
+def test_chunk_documents_window_shapes(spark):
+    from kbase_cdm_ontologies_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, ""), (3, "   "), (4, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    }
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)   # overlap of 1 token
+    assert rows[(1, 3)] == ("w9", 1)            # final partial window kept
+    assert rows[(4, 0)] == ("a b", 2)
+    assert not any(i == 2 or i == 3 for i, _ in rows)  # empty docs yield nothing
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_normalize_urls_rules(spark):
+    from kbase_cdm_ontologies_spark.operators.textstats import normalize_urls
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://Example.COM/a/b/?utm_source=x&q=1#frag",),
+            ("https://foo.org",),
+            ("http://bar.net/path/?fbclid=zz",),
+            ("https://x.io/a?keep=1&utm_a=1&utm_b=2&also=2",),
+        ],
+        ["url"],
+    )
+    got = {r["url"]: (r["host"], r["url_norm"]) for r in normalize_urls(df).collect()}
+    assert got["HTTP://Example.COM/a/b/?utm_source=x&q=1#frag"] == (
+        "example.com", "http://example.com/a/b?q=1"
+    )
+    assert got["https://foo.org"] == ("foo.org", "https://foo.org/")
+    assert got["http://bar.net/path/?fbclid=zz"] == ("bar.net", "http://bar.net/path")
+    assert got["https://x.io/a?keep=1&utm_a=1&utm_b=2&also=2"] == (
+        "x.io", "https://x.io/a?keep=1&also=2"
+    )
