@@ -1380,6 +1380,16 @@ def streaming_sessionization(spark, sf_dir):
     return sessionize_stream(spark, f"{sf_dir}/events.parquet", gap_minutes=30)
 
 
+@q("streaming_dedup")  # which duplicate survives = arrival order: rows-only
+def streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) over the
+    event feed — bounded state via watermark eviction; the kept row per
+    key depends on arrival order, so the check is rows-only."""
+    from .streaming.ingest import streaming_dedup as _sd
+
+    return _sd(spark, f"{sf_dir}/events.parquet", watermark_minutes=60)
+
+
 @q("multimodal_image_features")  # stub decode kernel: rows-only check
 def multimodal_image_features(spark, sf_dir):
     from .operators.multimodal import image_features

@@ -61,3 +61,57 @@ def windowed_event_counts_stream(
         f"SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start, "
         f"event_type, n, total_value FROM {qname}"
     )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    events_dir: str,
+    watermark_minutes: int = 60,
+) -> DataFrame:
+    """Streaming exact dedup over the event feed:
+    dropDuplicatesWithinWatermark on a content key — the streaming
+    analog of exact_duplicates for continuously-landing WARC drops.
+    State stays bounded by the watermark horizon (Spark evicts dedup
+    state older than the watermark), which is what makes exact dedup
+    viable on an unbounded 10^12-doc feed: re-crawls inside the horizon
+    dedup exactly; older re-crawls are handled by the batch
+    incremental anti-join (plans/incremental.py). Returns the drained
+    deduplicated batch (event_id, ts string, content_key)."""
+    import os
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
+        events_dir = os.path.dirname(events_dir)
+    # content key: duplicates = same (user, type, value) burst — the
+    # fixture's stand-in for same (url, content-sha) page re-crawls
+    stream = (
+        reader.load(events_dir)
+        .withColumn(
+            "content_key",
+            F.md5(F.concat_ws("|", "user_id", "event_type", F.round("value", 2))),
+        )
+        .withWatermark("ts", f"{watermark_minutes} minutes")
+        .dropDuplicatesWithinWatermark(["content_key"])
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "content_key",
+        )
+    )
+    qname = f"dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT event_id, ts, content_key FROM {qname}")

@@ -82,3 +82,26 @@ def test_stateful_sessionization(spark):
     extras = got_ms - want
     assert extras <= set(finals.values())
     assert len(want) > 0  # fixture actually produces closed sessions
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon collapse to one row per content key."""
+    from datetime import datetime
+
+    from kbase_cdm_ontologies_spark.streaming.ingest import streaming_dedup
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 7, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 5), 7, "click", 1.0, "{}"),   # dup of 1
+        (3, datetime(2024, 1, 1, 10, 10), 7, "click", 2.0, "{}"),  # distinct value
+        (4, datetime(2024, 1, 1, 10, 15), 8, "view", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 10, 20), 8, "view", 1.0, "{}"),   # dup of 4
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(src)
+    out = streaming_dedup(spark, src, watermark_minutes=60).collect()
+    keys = [r["content_key"] for r in out]
+    assert len(keys) == 3 and len(set(keys)) == 3
+    assert {r["event_id"] for r in out} <= {1, 2, 3, 4, 5}
