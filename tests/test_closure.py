@@ -319,3 +319,92 @@ def test_keyed_transitive_closure_matches_per_key_bfs(spark):
                         stack.append(y)
             want |= {(key, s, o) for o in seen}
     assert got == want
+
+
+def test_cyclic_subproperty_hierarchy(spark):
+    # p ⊑ q, q ⊑ p (equivalent properties): edges lift both ways and
+    # the schema BFS terminates
+    rows = _restriction("x", "_:b1", "p", "y") + [
+        ("p", "rdfs:subPropertyOf", "q"),
+        ("q", "rdfs:subPropertyOf", "p"),
+    ]
+    got = _props(_entail(spark, rows, ["x", "y"]))
+    assert got == {("x", "p", "y"), ("x", "q", "y")}
+
+
+def _py_property_saturation(edges, hierarchy, transitive, chains):
+    """Independent fixpoint oracle over (s, p, o) sets."""
+    cur = set(edges)
+    while True:
+        new = set(cur)
+        for s, p, o in cur:
+            for q in hierarchy.get(p, ()):
+                new.add((s, q, o))
+        for t in transitive:
+            adj = {}
+            for s, p, o in new:
+                if p == t:
+                    adj.setdefault(s, set()).add(o)
+            for s in adj:
+                seen, stack = set(), list(adj[s])
+                while stack:
+                    x = stack.pop()
+                    if x not in seen:
+                        seen.add(x)
+                        stack.extend(adj.get(x, ()))
+                new |= {(s, t, o) for o in seen}
+        for p1, p2, r in chains:
+            rights = {}
+            for s, p, o in new:
+                if p == p2:
+                    rights.setdefault(s, set()).add(o)
+            for s, p, o in list(new):
+                if p == p1:
+                    for z in rights.get(o, ()):
+                        new.add((s, r, z))
+        if new == cur:
+            return cur
+        cur = new
+
+
+def test_property_closure_fuzz_vs_python(spark):
+    """Randomized schemas (hierarchies, transitivity, chains incl.
+    self-feeding ones) against an independent Python fixpoint — covers
+    both the one-pass fast path and the outer fixpoint loop."""
+    import random
+
+    from kbase_cdm_ontologies_spark.operators.closure import property_closure
+
+    rng = random.Random(99)
+    props = ["p0", "p1", "p2", "p3"]
+    for trial in range(6):
+        nodes = [f"n{i}" for i in range(10)]
+        edges = {
+            (rng.choice(nodes), rng.choice(props), rng.choice(nodes))
+            for _ in range(25)
+        }
+        hierarchy = {}
+        for p in props:
+            sups = {p} | {q for q in props if rng.random() < 0.25}
+            hierarchy[p] = sups
+        # close the hierarchy dict transitively (property_closure expects
+        # the reflexive-transitive closure, as property_schema produces)
+        changed = True
+        while changed:
+            changed = False
+            for p in props:
+                for q in list(hierarchy[p]):
+                    before = len(hierarchy[p])
+                    hierarchy[p] |= hierarchy.get(q, {q})
+                    changed |= len(hierarchy[p]) != before
+        transitive = {p for p in props if rng.random() < 0.4}
+        chains = []
+        if rng.random() < 0.7:
+            chains.append((rng.choice(props), rng.choice(props), rng.choice(props)))
+        df = spark.createDataFrame(sorted(edges), ["s", "p", "o"])
+        got = {
+            (r["s"], r["p"], r["o"])
+            for r in property_closure(df, hierarchy, transitive, chains).collect()
+        }
+        want = _py_property_saturation(edges, hierarchy, transitive, chains)
+        assert got == want, (trial, sorted(got ^ want)[:6], transitive, chains)

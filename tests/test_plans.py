@@ -133,3 +133,12 @@ def test_snapshot_commit_log_and_tamper_detection(spark, tmp_path):
     out = ck3.stage("s1", "fp", "code", lambda: spark.range(7).toDF("x"))
     assert ck3.stages_run == ["s1"]  # sha mismatch -> re-ran
     assert out.count() == 7
+
+
+@pytest.mark.parametrize("name", ["text_chunking", "web_url_normalize", "text_fingerprint"])
+def test_narrow_ops_have_no_shuffle(spark, name):
+    """The per-document webtext ops must stay one narrow pass that
+    pipelines with the scan — any Exchange is a regression."""
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, plan[:500]
+    assert "*(1)" in plan  # whole-stage codegen span over the scan
