@@ -118,6 +118,23 @@ def main(argv: list[str] | None = None) -> int:
     n_edges = out["edges"].count()
     n_nodes = out["nodes"].count()
 
+    # export memoization: when EVERY stage was skipped (inputs + code
+    # unchanged), the exports derived from them are unchanged too —
+    # re-serve the recorded export report instead of rewriting ~20
+    # tables (the dominant cost of a fully-resumed run)
+    export_report_path = f"{args.out}/export_report.json"
+    import os as _os
+
+    if not ck.stages_run and _os.path.exists(export_report_path):
+        with open(export_report_path) as f:
+            export_report = json.load(f)
+        wall = time.time() - t0
+        report = _final_report(args, corpus, out, ck, n_edges, n_nodes, export_report, wall)
+        print(json.dumps(report))
+        if args.owl_dir:
+            return 0 if n_edges > 0 else 1
+        return 0 if report["precision"] >= 0.95 and report["recall"] >= 0.95 else 1
+
     # stages 1-2 analog: per-ontology analysis record (JSON sink)
     from .operators.analysis import analyze_ontologies
 
@@ -168,10 +185,20 @@ def main(argv: list[str] | None = None) -> int:
         }
     )
     export_report = export_tables(tables, args.out)
+    with open(export_report_path, "w") as f:
+        json.dump(export_report, f)
     # sorted term-list sink (core_onto_unique_external_terms.tsv analog)
     sorted_text_sink(out["nodes"], "id", f"{args.out}/term_list")
     wall = time.time() - t0
 
+    report = _final_report(args, corpus, out, ck, n_edges, n_nodes, export_report, wall)
+    print(json.dumps(report))
+    if args.owl_dir:
+        return 0 if n_edges > 0 else 1
+    return 0 if report["precision"] >= 0.95 and report["recall"] >= 0.95 else 1
+
+
+def _final_report(args, corpus, out, ck, n_edges, n_nodes, export_report, wall) -> dict:
     if args.owl_dir:
         precision = recall = None  # external ontologies: no fixture oracle
     else:
@@ -180,7 +207,7 @@ def main(argv: list[str] | None = None) -> int:
         tp = len(got & want)
         precision = round(tp / len(got), 4) if got else 0.0
         recall = round(tp / len(want), 4) if want else 0.0
-    report = {
+    return {
         "pages": args.pages,
         "edges": n_edges,
         "nodes": n_nodes,
@@ -192,10 +219,6 @@ def main(argv: list[str] | None = None) -> int:
         "docs_per_sec": round(args.pages / wall, 2),
         "wall_sec": round(wall, 2),
     }
-    print(json.dumps(report))
-    if args.owl_dir:
-        return 0 if n_edges > 0 else 1
-    return 0 if report["precision"] >= 0.95 and report["recall"] >= 0.95 else 1
 
 
 if __name__ == "__main__":
