@@ -307,12 +307,82 @@ def run_graph_scale(master: str | None) -> dict:
     return out
 
 
+def run_entail_scale(master: str | None, n_classes: int = 204_800) -> dict:
+    """Full OWL EL entailment (subclass TC + property closure +
+    reflexive rows) at ontology-federation scale — classes, restriction
+    reifications, and the property schema all generated distributed via
+    spark.range, sized so both the subclass closure and the keyed
+    property TC run their DISTRIBUTED regimes. The semantic gates live
+    in tests (fixtures + fuzz vs a Python saturation oracle); this
+    measures the composition's throughput."""
+    from pyspark.sql import functions as F
+
+    from kbase_cdm_ontologies_spark.operators.closure import entail
+    from kbase_cdm_ontologies_spark.session import get_spark
+
+    spark = get_spark(app_name="entail-scale", master=master)
+    block = 512
+    ids = spark.range(n_classes)
+    term = F.concat(F.lit("C:"), F.lpad(F.col("id").cast("string"), 8, "0"))
+
+    def as_statements(df):
+        return df.select(
+            F.col("subject").alias("stanza"), "subject", "predicate", "object",
+            F.lit(None).cast("string").alias("value"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("language"),
+            F.lit(None).cast("string").alias("graph"),
+        )
+
+    classes = ids.select(term.alias("subject"), F.lit("rdf:type").alias("predicate"),
+                         F.lit("owl:Class").alias("object"))
+    # binary tree within each 512-class block
+    parent = (F.col("id") - F.col("id") % block) + ((F.col("id") % block) / 2).cast("long")
+    sub = ids.where((F.col("id") % block) != 0).select(
+        term.alias("subject"), F.lit("rdfs:subClassOf").alias("predicate"),
+        F.concat(F.lit("C:"), F.lpad(parent.cast("string"), 8, "0")).alias("object"),
+    )
+    # part_of restrictions chaining the leaves of each block
+    # part_of chain of 31 edges per block: the keyed TC output stays
+    # ~1.4M rows (chains of 255 would square to ~80M — a different bench)
+    leaves = ids.where(((F.col("id") % block) >= 256) & ((F.col("id") % block) < 287))
+    bn = F.concat(F.lit("_:r"), F.col("id").cast("string"))
+    nxt = F.concat(F.lit("C:"), F.lpad((F.col("id") + 1).cast("string"), 8, "0"))
+    restr = (
+        leaves.select(term.alias("subject"), F.lit("rdfs:subClassOf").alias("predicate"), bn.alias("object"))
+        .unionByName(leaves.select(bn.alias("subject"), F.lit("owl:onProperty").alias("predicate"), F.lit("BFO:0000050").alias("object")))
+        .unionByName(leaves.select(bn.alias("subject"), F.lit("owl:someValuesFrom").alias("predicate"), nxt.alias("object")))
+    )
+    schema_rows = spark.createDataFrame(
+        [
+            ("BFO:0000050", "rdf:type", "owl:ObjectProperty"),
+            ("BFO:0000050", "rdf:type", "owl:TransitiveProperty"),
+            ("BFO:0000050", "rdfs:subPropertyOf", "RO:0002131"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    statements = as_statements(classes.unionByName(sub).unionByName(restr).unionByName(schema_rows))
+    class_nodes = ids.select(term.alias("id"))
+    t0 = time.time()
+    edges = entail(statements, class_nodes)
+    n_edges = edges.count()
+    sec = round(time.time() - t0, 2)
+    return {
+        "classes": n_classes,
+        "statements": int(statements.count()),
+        "entailed_edges": int(n_edges),
+        "sec": sec,
+        "edges_per_sec": round(n_edges / sec),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--no-graph", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--graph-scale", action="store_true")
+    ap.add_argument("--entail-scale", action="store_true")
     ap.add_argument("--pages", type=int, default=int(os.environ.get("BENCH_PAGES", "5000")))
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -325,6 +395,9 @@ def main() -> int:
         return 0
     if args.graph_scale:
         print(json.dumps(run_graph_scale(args.master)))
+        return 0
+    if args.entail_scale:
+        print(json.dumps(run_entail_scale(args.master)))
         return 0
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
