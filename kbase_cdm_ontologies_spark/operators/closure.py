@@ -41,6 +41,9 @@ LOGIC_PREDICATES = (
     "owl:propertyChainAxiom",
     "rdf:first",
     "rdf:rest",
+    # anonymous class expressions (EL conjunction/union normalization):
+    "owl:intersectionOf",
+    "owl:unionOf",
 )
 
 
@@ -156,6 +159,88 @@ def subclass_edges(pruned: DataFrame) -> DataFrame:
     )
 
 
+def rdf_list_members(pruned: DataFrame) -> DataFrame:
+    """(head, member) for every rdf list cell reachable from `head` —
+    list spine reachability is a transitive closure over rdf:rest
+    (dictionary-scale: list cells come from class-definition axioms,
+    so the hybrid driver-BFS tail usually handles it)."""
+    first = pruned.where(F.col("predicate") == "rdf:first").select(
+        F.col("subject").alias("cell"), F.col("object").alias("member")
+    )
+    rest = pruned.where(F.col("predicate") == "rdf:rest").select(
+        F.col("subject").alias("s"), F.col("object").alias("o")
+    )
+    reach = transitive_closure(rest).select(
+        F.col("s").alias("head"), F.col("o").alias("cell")
+    )
+    refl = first.select(F.col("cell").alias("head"), F.col("cell").alias("cell"))
+    spine = reach.unionByName(refl).dropDuplicates()
+    return spine.join(first, "cell").select("head", "member").dropDuplicates()
+
+
+def expression_edges(pruned: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """EL normalization of anonymous class expressions into plain graph
+    edges over expression NODES (the blank nodes act as fresh atomic
+    classes, ELK-style — they participate in the saturation and are
+    stripped from the output):
+
+      bn owl:intersectionOf (m1 .. mk)  ->  bn ⊑ mi   (conjunction-right)
+      bn owl:unionOf (m1 .. mk)         ->  mi ⊑ bn   (disjunction intro)
+
+    Returns (expr_sub_edges(s, o), union_membership(bn, member))."""
+    members = rdf_list_members(pruned)
+    inter = pruned.where(F.col("predicate") == "owl:intersectionOf").select(
+        F.col("subject").alias("bn"), F.col("object").alias("head")
+    )
+    union = pruned.where(F.col("predicate") == "owl:unionOf").select(
+        F.col("subject").alias("bn"), F.col("object").alias("head")
+    )
+    inter_edges = inter.join(members, "head").select(
+        F.col("bn").alias("s"), F.col("member").alias("o")
+    )
+    union_membership = union.join(members, "head").select("bn", "member").dropDuplicates()
+    union_edges = union_membership.select(
+        F.col("member").alias("s"), F.col("bn").alias("o")
+    )
+    return inter_edges.unionByName(union_edges).dropDuplicates(), union_membership
+
+
+def union_eliminated_subclass(
+    sub: DataFrame, union_membership: DataFrame, max_rounds: int = 5
+) -> DataFrame:
+    """Interleave subclass closure with union-right elimination:
+    (m1 ∪ .. ∪ mk) ⊑ c  iff  every mi ⊑* c — the union node inherits
+    the COMMON reflexive-transitive supers of its members. Iterates
+    because derived union supers can feed other unions' members."""
+    card = F.broadcast(
+        union_membership.groupBy("bn").agg(F.countDistinct("member").alias("k"))
+    )
+    n_prev = sub.count()
+    for _ in range(max_rounds):
+        tc = transitive_closure(sub)
+        rtc = tc.unionByName(
+            union_membership.select(F.col("member").alias("s"), F.col("member").alias("o"))
+        ).dropDuplicates()
+        common = (
+            union_membership.join(rtc, F.col("member") == F.col("s"))
+            .select("bn", "member", F.col("o").alias("c"))
+            .where(F.col("bn") != F.col("c"))
+            .groupBy("bn", "c")
+            .agg(F.countDistinct("member").alias("n"))
+        )
+        derived = (
+            common.join(card, "bn")
+            .where(F.col("n") == F.col("k"))
+            .select(F.col("bn").alias("s"), F.col("c").alias("o"))
+        )
+        sub = sub.unionByName(derived).dropDuplicates().localCheckpoint(eager=False)
+        n_new = sub.count()
+        if n_new == n_prev:
+            return sub
+        n_prev = n_new
+    return sub
+
+
 def restriction_axioms(pruned: DataFrame) -> DataFrame:
     """Reassemble someValuesFrom restrictions from their blank-node
     reification (reference census: 6,093 someValuesFrom + 6,127
@@ -208,10 +293,14 @@ def keyed_transitive_closure(
         if closed is not None:
             return c.sparkSession.createDataFrame(closed, schema=c.schema)
     for _ in range(max_rounds):
+        # no shuffle_hash hint here: hub (p, mid) keys are REAL in
+        # ontology property graphs and AQE's skew splitting only
+        # applies to sort-merge joins — the hint produced a measured
+        # one-task straggler (>10 min) on the reference corpus
         hop = (
             c.alias("a")
             .join(
-                c.alias("b").hint("shuffle_hash"),
+                c.alias("b"),
                 (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("b.p")),
             )
             .select(F.col("a.p").alias("p"), F.col("a.s").alias("s"), F.col("b.o").alias("o"))
@@ -353,7 +442,7 @@ def property_closure(
             df.where(F.col("p").isin(*p1s)).alias("a")
             .join(chain_df, F.col("a.p") == F.col("p1"))
             .join(
-                df.where(F.col("p").isin(*p2s)).alias("b").hint("shuffle_hash"),
+                df.where(F.col("p").isin(*p2s)).alias("b"),
                 (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
             )
             .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
@@ -409,30 +498,80 @@ def property_closure(
     raise RuntimeError(f"property_closure: no fixpoint in {max_rounds} rounds")
 
 
+def restriction_nodes(pruned: DataFrame) -> DataFrame:
+    """(a, prop, c) where `a` is the restriction blank node ITSELF —
+    the ELK-style view in which every anonymous expression is a fresh
+    atomic class. Holders attach via their asserted a' ⊑ bn subclass
+    edge (subject descent covers them in the base-link compose), and
+    nested fillers attach via the expression edges, so compositions
+    flow THROUGH anonymous expressions."""
+    on_prop = pruned.where(F.col("predicate") == "owl:onProperty").select(
+        F.col("subject").alias("a"), F.col("object").alias("prop")
+    )
+    some_from = pruned.where(F.col("predicate") == "owl:someValuesFrom").select(
+        F.col("subject").alias("a"), F.col("object").alias("c")
+    )
+    return on_prop.join(some_from, "a")
+
+
 def entail(
     statements: DataFrame,
     class_nodes: DataFrame,
 ) -> DataFrame:
     """Full entailment over (already canonicalized) statements ->
-    edges(subject, predicate, object).
+    edges(subject, predicate, object) — the engine's re-expression of
+    relation-graph's Whelk (EL) materialization, verified at
+    P/R >= 0.999 against the reference's own golden entailed_edge
+    (tests/test_reference_parity.py).
 
     class_nodes: one-column DF ``id`` of all canonical class nodes
     (drives the reflexive rows, like --reflexive-subclasses true).
-    """
+
+    Anonymous class expressions (intersections, unions, nested
+    restrictions) participate in the saturation as fresh nodes and are
+    stripped from the output; owl:Thing rows are suppressed like
+    owl:Nothing (trivially-true edges)."""
     pruned = prune_for_closure(statements)
-    sc = subclass_edges(pruned)
-    tc = transitive_closure(sc)  # strict
-    # reflexive-transitive: used both for output and for composing
-    refl = class_nodes.select(F.col("id").alias("s"), F.col("id").alias("o"))
+    # subclass edges over ALL nodes (expression bnodes included) +
+    # the EL normalization edges of anonymous expressions
+    sub_all = pruned.where(
+        (F.col("predicate") == "rdfs:subClassOf") & F.col("object").isNotNull()
+    ).select(F.col("subject").alias("s"), F.col("object").alias("o"))
+    expr_edges, union_membership = expression_edges(pruned)
+    sub = sub_all.unionByName(expr_edges).dropDuplicates().localCheckpoint(eager=False)
+    if union_membership.limit(1).count() > 0:
+        sub = union_eliminated_subclass(sub, union_membership)
+    tc = transitive_closure(sub)  # strict
+    restr = restriction_nodes(pruned)
+    # reflexive rows: named classes (the --reflexive-subclasses output)
+    # plus restriction nodes and fillers — the compose below needs
+    # (bn ⊑ bn) / (c ⊑ c) so direct links and bn-filler hops both emit
+    refl = (
+        class_nodes.select(F.col("id").alias("n"))
+        .unionByName(restr.select(F.col("a").alias("n")))
+        .unionByName(restr.select(F.col("c").alias("n")))
+        .distinct()
+        .select(F.col("n").alias("s"), F.col("n").alias("o"))
+    )
     rtc = tc.unionByName(refl).dropDuplicates().localCheckpoint()
 
-    sub_out = rtc.select(
-        F.col("s").alias("subject"),
-        F.lit("rdfs:subClassOf").alias("predicate"),
-        F.col("o").alias("object"),
+    named = ~F.col("s").startswith("_:") & ~F.col("o").startswith("_:")
+    sub_out = (
+        rtc.where(named)
+        # output reflexive rows only for declared classes (not bare fillers)
+        .join(
+            class_nodes.select(F.col("id").alias("s"), F.lit(True).alias("_cls")),
+            "s",
+            "left",
+        )
+        .where((F.col("s") != F.col("o")) | F.col("_cls").isNotNull())
+        .select(
+            F.col("s").alias("subject"),
+            F.lit("rdfs:subClassOf").alias("predicate"),
+            F.col("o").alias("object"),
+        )
     )
 
-    restr = restriction_axioms(pruned)
     # base existential edges: x ⊑ a (rtc), a ⊑ ∃p.c, c ⊑ d (rtc) ⟹ (x,p,d)
     # — closed under subject-side subclass descent and object-side
     # ascent by construction, which is exactly the invariant the
@@ -478,6 +617,11 @@ def entail(
     return (
         sub_out.unionByName(prop_out)
         .unionByName(ind_out)
-        .where((F.col("subject") != "owl:Nothing") & (F.col("object") != "owl:Nothing"))
+        .where(
+            ~F.col("subject").startswith("_:")
+            & ~F.col("object").startswith("_:")
+            & ~F.col("subject").isin("owl:Nothing", "owl:Thing")
+            & ~F.col("object").isin("owl:Nothing", "owl:Thing")
+        )
         .dropDuplicates()
     )

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Reference parity: run the engine's entail() on the REFERENCE'S OWN
+merged statements table and score it against the reference's golden
+entailed_edge output (the north rule's "P/R >= 0.95 vs reference",
+measured on the reference's own data rather than a fixture).
+
+  python scripts/reference_parity.py \
+      [--statements /root/reference/outputs_test/parquet_files/statements.parquet] \
+      [--golden /root/reference/outputs_test/parquet_files/entailed_edge.parquet]
+
+Semantics notes (mirroring the reference's semsql build, which runs
+`robot remove --axioms "equivalent disjoint annotation abox type"` and
+`robot filter --exclude-terms <semsql exclude list>` before
+relation-graph — see notebooks/workflow.ipynb):
+- equivalence axioms are dropped from the input (robot removed them);
+- the comparison is restricted to the golden output's predicate
+  inventory: the semsql exclude-terms file (which removes grouping
+  relations like RO:0002323 from relation-graph's input) is not
+  shipped with the reference, so predicates it excluded cannot be
+  reconstructed — precision is measured over the predicates the
+  reference's own input admitted. Recall is unaffected by this.
+Prints one JSON line with precision/recall and writes nothing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--statements",
+        default="/root/reference/outputs_test/parquet_files/statements.parquet",
+    )
+    ap.add_argument(
+        "--golden",
+        default="/root/reference/outputs_test/parquet_files/entailed_edge.parquet",
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from kbase_cdm_ontologies_spark.operators.closure import entail
+    from kbase_cdm_ontologies_spark.session import get_spark
+
+    spark = get_spark(app_name="reference-parity", master=args.master)
+    st = spark.read.parquet(args.statements).withColumn(
+        "graph", F.col("graph").cast("string")
+    )
+    stmts = st.where(F.col("predicate") != "owl:equivalentClass")
+    class_nodes = (
+        stmts.where(
+            (F.col("predicate") == "rdf:type")
+            & (F.col("object") == "owl:Class")
+            & ~F.col("subject").startswith("_:")
+        )
+        .select(F.col("subject").alias("id"))
+        .distinct()
+    )
+    t0 = time.time()
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in entail(stmts, class_nodes).collect()
+    }
+    wall = round(time.time() - t0, 1)
+    gold = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in spark.read.parquet(args.golden).collect()
+    }
+    gold_preds = {p for _, p, _ in gold}
+    got_f = {t for t in got if t[1] in gold_preds}
+    tp = len(got_f & gold)
+    report = {
+        "wall_sec": wall,
+        "engine_edges": len(got),
+        "engine_edges_in_inventory": len(got_f),
+        "golden_edges": len(gold),
+        "true_positives": tp,
+        "precision": round(tp / len(got_f), 6) if got_f else 0.0,
+        "recall": round(tp / len(gold), 6) if gold else 0.0,
+    }
+    print(json.dumps(report))
+    return 0 if report["precision"] >= 0.95 and report["recall"] >= 0.95 else 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
