@@ -390,12 +390,62 @@ def property_schema(pruned: DataFrame) -> tuple[dict[str, set[str]], set[str], l
     return hierarchy, trans, chains
 
 
+def _local_property_saturation(
+    links: set[tuple],
+    hierarchy: dict[str, set[str]],
+    transitive: set[str],
+    chains: list[tuple[str, str, str]],
+) -> set[tuple]:
+    """Driver-side saturation of the property rules (SubRole lift,
+    per-property BFS transitivity, subrole-expanded chains) — the same
+    rule set as the distributed loop, validated against it by the fuzz
+    tests and against the reference's golden output by
+    scripts/reference_parity_oracle.py."""
+    import collections
+    import itertools
+
+    def up_props(p: str) -> set[str]:
+        return hierarchy.get(p, {p}) | {p}
+
+    downp: dict[str, set[str]] = collections.defaultdict(set)
+    allprops = {p for _, p, _ in links} | transitive | {q for c3 in chains for q in c3}
+    for p in set(itertools.chain.from_iterable(up_props(q) for q in allprops)) | allprops:
+        for q in up_props(p):
+            downp[q].add(p)
+    rules = [(downp[t], downp[t], t) for t in transitive]
+    rules += [(downp[p1], downp[p2], r) for p1, p2, r in chains]
+
+    def lift(ls: set[tuple]) -> set[tuple]:
+        out = set(ls)
+        for s, p, o in ls:
+            for q in up_props(p):
+                out.add((s, q, o))
+        return out
+
+    links = lift(links)
+    while True:
+        by_src = collections.defaultdict(list)
+        for s, p, o in links:
+            by_src[s].append((p, o))
+        new = set()
+        for ps1, ps2, r in rules:
+            for s, p, o in links:
+                if p in ps1:
+                    for p2, o2 in by_src.get(o, ()):
+                        if p2 in ps2 and (s, r, o2) not in links:
+                            new.add((s, r, o2))
+        if not new:
+            return {t for t in links if not t[1].startswith("_:step_")}
+        links |= lift(new)
+
+
 def property_closure(
     base_edges: DataFrame,
     hierarchy: dict[str, set[str]],
     transitive: set[str],
     chains: list[tuple[str, str, str]],
     max_rounds: int = 10,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Saturate (s, p, o) existential edges under the EL property rules:
 
@@ -409,7 +459,15 @@ def property_closure(
     re-runs only while composition keeps producing new edges — its
     depth is the chain-nesting depth of the schema (1 for pure
     transitivity, tiny in practice). The edge set grows monotonically,
-    so count equality is the exact fixpoint test."""
+    so count equality is the exact fixpoint test.
+
+    Hybrid execution like the other closure operators: an ontology's
+    property-edge graph is dictionary-scale relative to the corpus
+    (the reference's full test tier is ~1M base links), so below
+    local_threshold the saturation runs driver-side with the identical
+    rule set — the distributed fixpoint's closure ⋈ closure joins are
+    hot-key-prone on real ontologies (one (property, mid) key can
+    dominate). local_threshold=0 forces the distributed loop."""
     spark = base_edges.sparkSession
     hier_rows = [
         (p, q) for p, qs in hierarchy.items() for q in qs if q != p
@@ -418,6 +476,14 @@ def property_closure(
     # entailment (e.g. a ⊑ ∃p.c with c ⊑ a), unlike the strict
     # subclass closure where reflexive rows are added separately
     r = base_edges.select("s", "p", "o").dropDuplicates()
+    if local_threshold and (transitive or chains):
+        r = r.localCheckpoint(eager=False)
+        if r.count() <= local_threshold:
+            closed = _local_property_saturation(
+                {(row["s"], row["p"], row["o"]) for row in r.collect()},
+                hierarchy, transitive, chains,
+            )
+            return spark.createDataFrame(sorted(closed), schema=r.schema)
 
     def expand_hierarchy(df: DataFrame) -> DataFrame:
         if not hier_rows:

@@ -402,9 +402,13 @@ def test_property_closure_fuzz_vs_python(spark):
         if rng.random() < 0.7:
             chains.append((rng.choice(props), rng.choice(props), rng.choice(props)))
         df = spark.createDataFrame(sorted(edges), ["s", "p", "o"])
-        got = {
-            (r["s"], r["p"], r["o"])
-            for r in property_closure(df, hierarchy, transitive, chains).collect()
-        }
         want = _py_property_saturation(edges, hierarchy, transitive, chains)
-        assert got == want, (trial, sorted(got ^ want)[:6], transitive, chains)
+        # both execution regimes: driver saturation and distributed loop
+        for thr in ((2_000_000, 0) if trial < 3 else (2_000_000,)):
+            got = {
+                (r["s"], r["p"], r["o"])
+                for r in property_closure(
+                    df, hierarchy, transitive, chains, local_threshold=thr
+                ).collect()
+            }
+            assert got == want, (trial, thr, sorted(got ^ want)[:6], transitive, chains)
