@@ -92,6 +92,69 @@ def _local_closure(
     return out
 
 
+def _seminaive_closure(
+    c: DataFrame,
+    delta: DataFrame,
+    keyed: bool,
+    keep_self: bool,
+    max_rounds: int,
+    both_sides: bool = False,
+    op: str = "transitive_closure",
+) -> DataFrame:
+    """Semi-naive (frontier) transitive-closure rounds: each round joins
+    only the FRONTIER (pairs first discovered last round) against the
+    accumulated closure, never closure ⋈ closure — per-round shuffle is
+    |Δ| + |C| and the hop output carries only frontier compositions
+    instead of re-deriving every known pair every round (the round-2
+    plan re-joined the full closure each round; its hop output grew with
+    |C|·avg_degree and produced a measured one-task straggler on the
+    reference corpus).
+
+    Doubling depth is preserved: the frontier at round k holds exactly
+    the pairs at shortest-distance 2^k (anything nearer was discovered
+    earlier), and composing them with all known pairs (distance ≤ 2^k)
+    reaches every distance ≤ 2^(k+1) — split a shortest path at offset
+    2^k from the start: the prefix is frontier, the suffix is known. So
+    max_rounds=20 still covers diameter 2^20.
+
+    both_sides=True additionally composes closure ⋈ frontier — required
+    when resuming from an already-closed set plus new edges (incremental
+    extension), where the new pair may be the SUFFIX of the shortest
+    path; from-scratch callers (c == delta) use the one-sided form.
+
+    Preconditions: c is deduplicated, delta ⊆ c, and c is closed except
+    for derivations involving delta. One Spark action per round (the
+    frontier count, which also materializes the lazy checkpoints)."""
+    cols = (["p"] if keyed else []) + ["s", "o"]
+
+    def hop_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        cond = F.col("a.o") == F.col("b.s")
+        if keyed:
+            cond = cond & (F.col("a.p") == F.col("b.p"))
+        return left.alias("a").join(right.alias("b"), cond).select(
+            *([F.col("a.p").alias("p")] if keyed else []),
+            F.col("a.s").alias("s"),
+            F.col("b.o").alias("o"),
+        )
+
+    for _ in range(max_rounds):
+        hop = hop_join(delta, c)
+        if both_sides:
+            hop = hop.unionByName(hop_join(c, delta))
+        if not keep_self:
+            hop = hop.where(F.col("s") != F.col("o"))
+        delta = (
+            hop.dropDuplicates()
+            .join(c, cols, "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if delta.count() == 0:
+            return c
+        # disjoint by construction (anti-join) — no dedup needed here
+        c = c.unionByName(delta).localCheckpoint(eager=False)
+    raise RuntimeError(f"{op}: no fixpoint in {max_rounds} frontier rounds")
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "s",
@@ -100,12 +163,12 @@ def transitive_closure(
     local_threshold: int = 20_000,
 ) -> DataFrame:
     """All (s, o) pairs with a directed path s ->+ o (non-reflexive).
-    Path doubling: max_rounds=20 covers diameter 2^20.
+    Semi-naive frontier doubling: max_rounds=20 covers diameter 2^20.
 
     Hybrid execution like connected_components: edge sets under
     local_threshold are closed with one driver-side BFS (guarded by a
     pair cap — a dense closure falls back to the distributed loop);
-    larger inputs run the path-doubling rounds. local_threshold=0
+    larger inputs run the semi-naive frontier rounds. local_threshold=0
     forces the distributed loop."""
     c = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("o"))
@@ -119,30 +182,9 @@ def transitive_closure(
             return c.sparkSession.createDataFrame(
                 [(s, o) for _k, s, o in closed], schema=c.schema
             )
-    # the closure set grows monotonically (union each round), so count
-    # equality IS set equality — one count per round, carried forward,
-    # and the count action doubles as the lazy checkpoint materializer
-    n_prev = c.count()
-    for _ in range(max_rounds):
-        hop = (
-            c.alias("a")
-            .join(
-                c.alias("b").hint("shuffle_hash"),
-                F.col("a.o") == F.col("b.s"),
-            )
-            .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
-        )
-        c = (
-            c.unionByName(hop)
-            .where(F.col("s") != F.col("o"))
-            .dropDuplicates()
-            .localCheckpoint(eager=False)
-        )
-        n_new = c.count()
-        if n_new == n_prev:
-            return c
-        n_prev = n_new
-    raise RuntimeError(f"transitive_closure: no fixpoint in {max_rounds} doubling rounds")
+    return _seminaive_closure(
+        c, c, keyed=False, keep_self=False, max_rounds=max_rounds
+    )
 
 
 def subclass_edges(pruned: DataFrame) -> DataFrame:
@@ -285,36 +327,21 @@ def keyed_transitive_closure(
         .dropDuplicates()
         .localCheckpoint(eager=False)
     )
-    n_prev = c.count()
-    if local_threshold and n_prev <= local_threshold:
-        closed = _local_closure(
-            [(r["p"], r["s"], r["o"]) for r in c.collect()], 5_000_000, keep_self
-        )
-        if closed is not None:
-            return c.sparkSession.createDataFrame(closed, schema=c.schema)
-    for _ in range(max_rounds):
-        # no shuffle_hash hint here: hub (p, mid) keys are REAL in
-        # ontology property graphs and AQE's skew splitting only
-        # applies to sort-merge joins — the hint produced a measured
-        # one-task straggler (>10 min) on the reference corpus
-        hop = (
-            c.alias("a")
-            .join(
-                c.alias("b"),
-                (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("b.p")),
+    if local_threshold:
+        if c.count() <= local_threshold:
+            closed = _local_closure(
+                [(r["p"], r["s"], r["o"]) for r in c.collect()], 5_000_000, keep_self
             )
-            .select(F.col("a.p").alias("p"), F.col("a.s").alias("s"), F.col("b.o").alias("o"))
-        )
-        c = (
-            strip(c.unionByName(hop))
-            .dropDuplicates()
-            .localCheckpoint(eager=False)
-        )
-        n_new = c.count()
-        if n_new == n_prev:
-            return c
-        n_prev = n_new
-    raise RuntimeError(f"keyed_transitive_closure: no fixpoint in {max_rounds} rounds")
+            if closed is not None:
+                return c.sparkSession.createDataFrame(closed, schema=c.schema)
+    # no shuffle_hash hint in the frontier join: hub (p, mid) keys are
+    # REAL in ontology property graphs and AQE's skew splitting only
+    # applies to sort-merge joins — the hint produced a measured
+    # one-task straggler (>10 min) on the reference corpus
+    return _seminaive_closure(
+        c, c, keyed=True, keep_self=keep_self, max_rounds=max_rounds,
+        op="keyed_transitive_closure",
+    )
 
 
 def property_schema(pruned: DataFrame) -> tuple[dict[str, set[str]], set[str], list[tuple[str, str, str]]]:
@@ -330,13 +357,20 @@ def property_schema(pruned: DataFrame) -> tuple[dict[str, set[str]], set[str], l
     dominated by just three), so driver-side closure + broadcast back is
     the mandated dictionary pattern, same as the alias table. Chains of
     length > 2 are decomposed into binary steps via synthetic
-    intermediate properties (standard EL normalization)."""
-    # ONE collect for the whole property schema (dictionary-sized)
+    intermediate properties (standard EL normalization).
+
+    rdf:first / rdf:rest rows also reify every intersectionOf/unionOf
+    class-expression list (corpus-proportional in real OBO sets), so the
+    collect is restricted to list cells REACHABLE FROM A CHAIN HEAD: the
+    chain-bnode spine is walked distributed (frontier ⨝ rest per step,
+    chain lists are short) and first/rest rows are semi-joined on it
+    before collecting — only the chain axioms' own cells ever reach the
+    driver."""
+    # chain heads + subPropertyOf + TransitiveProperty are all
+    # dictionary-sized — one collect
     schema_rows = (
         pruned.where(
-            F.col("predicate").isin(
-                "rdfs:subPropertyOf", "owl:propertyChainAxiom", "rdf:first", "rdf:rest"
-            )
+            F.col("predicate").isin("rdfs:subPropertyOf", "owl:propertyChainAxiom")
             | (
                 (F.col("predicate") == "rdf:type")
                 & (F.col("object") == "owl:TransitiveProperty")
@@ -345,6 +379,39 @@ def property_schema(pruned: DataFrame) -> tuple[dict[str, set[str]], set[str], l
         .select("subject", "predicate", "object")
         .collect()
     )
+    # walk the chain rdf-list spine distributed, then collect only the
+    # reachable first/rest cells (bounded by #chains x list length)
+    head_cells = [
+        r["object"] for r in schema_rows if r["predicate"] == "owl:propertyChainAxiom"
+    ]
+    if head_cells:
+        spark = pruned.sparkSession
+        rest_df = (
+            pruned.where(F.col("predicate") == "rdf:rest")
+            .select(F.col("subject").alias("s"), F.col("object").alias("o"))
+            .localCheckpoint(eager=False)
+        )
+        spine = spark.createDataFrame([(c,) for c in head_cells], ["cell"])
+        frontier = spine
+        for _ in range(64):  # chain lists are a handful of cells long
+            frontier = (
+                rest_df.join(
+                    F.broadcast(frontier), rest_df["s"] == F.col("cell"), "left_semi"
+                )
+                .select(F.col("o").alias("cell"))
+                .dropDuplicates()
+                .localCheckpoint(eager=False)
+            )
+            if frontier.count() == 0:
+                break
+            spine = spine.unionByName(frontier)
+        spine = F.broadcast(spine.dropDuplicates())
+        schema_rows = schema_rows + (
+            pruned.where(F.col("predicate").isin("rdf:first", "rdf:rest"))
+            .join(spine, pruned["subject"] == spine["cell"], "left_semi")
+            .select("subject", "predicate", "object")
+            .collect()
+        )
     sub_rows = [r for r in schema_rows if r["predicate"] == "rdfs:subPropertyOf"]
     trans = {r["subject"] for r in schema_rows if r["predicate"] == "rdf:type"}
     chain_heads = [r for r in schema_rows if r["predicate"] == "owl:propertyChainAxiom"]
@@ -395,11 +462,15 @@ def _local_property_saturation(
     hierarchy: dict[str, set[str]],
     transitive: set[str],
     chains: list[tuple[str, str, str]],
+    union_members: dict[str, list[str]] | None = None,
 ) -> set[tuple]:
     """Driver-side saturation of the property rules (SubRole lift,
-    per-property BFS transitivity, subrole-expanded chains) — the same
-    rule set as the distributed loop, validated against it by the fuzz
-    tests and against the reference's golden output by
+    per-property BFS transitivity, subrole-expanded chains, and the
+    union link rule: a union expression node inherits the COMMON
+    property links of its members — Whelk derives these, and they are
+    the last ~120 recall edges of the reference's golden output) — the
+    same rule set as the distributed loop, validated against it by the
+    fuzz tests and against the reference's golden output by
     scripts/reference_parity_oracle.py."""
     import collections
     import itertools
@@ -412,8 +483,11 @@ def _local_property_saturation(
     for p in set(itertools.chain.from_iterable(up_props(q) for q in allprops)) | allprops:
         for q in up_props(p):
             downp[q].add(p)
-    rules = [(downp[t], downp[t], t) for t in transitive]
-    rules += [(downp[p1], downp[p2], r) for p1, p2, r in chains]
+    # chains stay binary rules; transitivity closes by per-property BFS
+    # below (one sweep reaches every path depth — the binary rule needed
+    # O(depth) sweeps over the growing link set, measured 3x slower on
+    # deep part_of chains)
+    rules = [(downp[p1], downp[p2], r) for p1, p2, r in chains]
 
     def lift(ls: set[tuple]) -> set[tuple]:
         out = set(ls)
@@ -423,20 +497,73 @@ def _local_property_saturation(
         return out
 
     links = lift(links)
+    dirty = dict.fromkeys(transitive, True)
+    emitted: dict[str, set] = {t: set() for t in transitive}
+    prev_new: set = set()
     while True:
-        by_src = collections.defaultdict(list)
-        for s, p, o in links:
-            by_src[s].append((p, o))
         new = set()
+        if union_members or rules:
+            by_src = collections.defaultdict(list)
+            for s, p, o in links:
+                by_src[s].append((p, o))
+        if union_members:
+            for bn, ms in union_members.items():
+                if not ms:
+                    continue
+                common: set | None = None
+                for m in ms:
+                    lm = set(by_src.get(m, ()))
+                    common = lm if common is None else (common & lm)
+                    if not common:
+                        break
+                for p, o in common or ():
+                    if (bn, p, o) not in links:
+                        new.add((bn, p, o))
+        for t in transitive:
+            # reachability over every sub-property edge of t (premise
+            # subrole expansion), emitted at t — full-depth in one BFS.
+            # A BFS re-run is skipped when the only down(t) edges added
+            # since its last run are its own emissions: those are
+            # shortcuts of already-traversed paths and cannot change
+            # reachability.
+            tdown = downp[t]
+            if not dirty[t]:
+                continue
+            adj: dict = {}
+            for s, p, o in links:
+                if p in tdown:
+                    adj.setdefault(s, set()).add(o)
+            emit = emitted[t]
+            for s in adj:
+                seen: set = set()
+                stack = list(adj[s])
+                while stack:
+                    x = stack.pop()
+                    if x not in seen:
+                        seen.add(x)
+                        stack.extend(adj.get(x, ()))
+                for o in seen:
+                    tr = (s, t, o)
+                    emit.add(tr)
+                    if tr not in links:
+                        new.add(tr)
+            dirty[t] = False
         for ps1, ps2, r in rules:
             for s, p, o in links:
                 if p in ps1:
                     for p2, o2 in by_src.get(o, ()):
                         if p2 in ps2 and (s, r, o2) not in links:
                             new.add((s, r, o2))
-        if not new:
+        if not new and not any(dirty.values()):
             return {t for t in links if not t[1].startswith("_:step_")}
-        links |= lift(new)
+        prev_new = lift(new) - links
+        links |= prev_new
+        for t in transitive:
+            if not dirty[t]:
+                dirty[t] = any(
+                    p in downp[t] and (s, p, o) not in emitted[t]
+                    for s, p, o in prev_new
+                )
 
 
 def property_closure(
@@ -444,30 +571,36 @@ def property_closure(
     hierarchy: dict[str, set[str]],
     transitive: set[str],
     chains: list[tuple[str, str, str]],
+    union_members: dict[str, list[str]] | None = None,
     max_rounds: int = 10,
     local_threshold: int = 2_000_000,
+    driver_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Saturate (s, p, o) existential edges under the EL property rules:
 
       SubRole:   (x, p, y), p ⊑* q               ⟹ (x, q, y)
       Trans:     q transitive: (x,q,y), (y,q,z)  ⟹ (x, q, z)
       Chain:     p1 o p2 ⊑ r: (x,p1,y), (y,p2,z) ⟹ (x, r, z)
+      Union:     u = (m1 ∪ .. ∪ mk): every mi has (mi,p,o) ⟹ (u,p,o)
+                 (union_members; Whelk derives these common links and
+                 chains compose through the union node)
 
-    Transitivity is closed by per-property path doubling (O(log diam)
-    rounds, all transitive properties in one keyed loop); explicit
-    chains compose through a broadcast (p1, p2, r) table. The outer loop
-    re-runs only while composition keeps producing new edges — its
-    depth is the chain-nesting depth of the schema (1 for pure
-    transitivity, tiny in practice). The edge set grows monotonically,
-    so count equality is the exact fixpoint test.
+    Transitivity is closed by per-property semi-naive frontier doubling
+    (O(log diam) rounds, all transitive properties in one keyed loop);
+    explicit chains compose through a broadcast (p1, p2, r) table. The
+    outer loop is itself semi-naive: each round composes only the DELTA
+    (edges first derived last round) against the accumulated set, and
+    extends the transitive closure incrementally from that delta — no
+    closure ⋈ closure re-derivation. Its depth is the chain-nesting
+    depth of the schema (1 for pure transitivity, tiny in practice).
 
     Hybrid execution like the other closure operators: an ontology's
     property-edge graph is dictionary-scale relative to the corpus
     (the reference's full test tier is ~1M base links), so below
-    local_threshold the saturation runs driver-side with the identical
-    rule set — the distributed fixpoint's closure ⋈ closure joins are
-    hot-key-prone on real ontologies (one (property, mid) key can
-    dominate). local_threshold=0 forces the distributed loop."""
+    local_threshold rows AND driver_max_bytes estimated payload
+    (config: spark.graft.propertyClosure.driverMaxBytes) the saturation
+    runs driver-side with the identical rule set. local_threshold=0
+    forces the distributed loop."""
     spark = base_edges.sparkSession
     hier_rows = [
         (p, q) for p, qs in hierarchy.items() for q in qs if q != p
@@ -476,14 +609,23 @@ def property_closure(
     # entailment (e.g. a ⊑ ∃p.c with c ⊑ a), unlike the strict
     # subclass closure where reflexive rows are added separately
     r = base_edges.select("s", "p", "o").dropDuplicates()
-    if local_threshold and (transitive or chains):
+    needs_fixpoint = bool(transitive or chains or union_members)
+    if local_threshold and needs_fixpoint:
         r = r.localCheckpoint(eager=False)
         if r.count() <= local_threshold:
-            closed = _local_property_saturation(
-                {(row["s"], row["p"], row["o"]) for row in r.collect()},
-                hierarchy, transitive, chains,
-            )
-            return spark.createDataFrame(sorted(closed), schema=r.schema)
+            # bytes-aware driver guard: the row threshold alone could
+            # admit multi-GB string payloads on a small-driver cluster
+            conf = spark.conf.get("spark.graft.propertyClosure.driverMaxBytes", None)
+            max_bytes = int(conf) if conf else driver_max_bytes
+            est = r.select(
+                F.sum(F.length("s") + F.length("p") + F.length("o")).alias("b")
+            ).collect()[0]["b"]
+            if (est or 0) <= max_bytes:
+                closed = _local_property_saturation(
+                    {(row["s"], row["p"], row["o"]) for row in r.collect()},
+                    hierarchy, transitive, chains, union_members,
+                )
+                return spark.createDataFrame(sorted(closed), schema=r.schema)
 
     def expand_hierarchy(df: DataFrame) -> DataFrame:
         if not hier_rows:
@@ -493,7 +635,7 @@ def property_closure(
         return df.unionByName(up).dropDuplicates()
 
     r = expand_hierarchy(r).localCheckpoint(eager=False)
-    if not transitive and not chains:
+    if not needs_fixpoint:
         return r
     chain_df = (
         F.broadcast(spark.createDataFrame(chains, ["p1", "p2", "r"])) if chains else None
@@ -501,66 +643,114 @@ def property_closure(
     p1s = {c[0] for c in chains}
     p2s = {c[1] for c in chains}
 
-    def compose_chains(df: DataFrame) -> DataFrame:
-        # pre-filter both join inputs to the properties the chain table
-        # can actually consume — the shuffle carries only chain feed
-        return (
-            df.where(F.col("p").isin(*p1s)).alias("a")
-            .join(chain_df, F.col("a.p") == F.col("p1"))
-            .join(
-                df.where(F.col("p").isin(*p2s)).alias("b"),
-                (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
+    def compose_chains_delta(d: DataFrame, full: DataFrame, scratch: bool) -> DataFrame:
+        # semi-naive: at least one premise comes from the delta; both
+        # join inputs pre-filtered to the properties the chain table can
+        # actually consume — the shuffle carries only chain feed
+        def one_side(left: DataFrame, right: DataFrame) -> DataFrame:
+            return (
+                left.where(F.col("p").isin(*p1s)).alias("a")
+                .join(chain_df, F.col("a.p") == F.col("p1"))
+                .join(
+                    right.where(F.col("p").isin(*p2s)).alias("b"),
+                    (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
+                )
+                .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
             )
-            .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
+
+        left = one_side(d, full)
+        if scratch:  # d == full: one direction covers both premises
+            return left
+        return left.unionByName(one_side(full, d))
+
+    union_df = card = None
+    if union_members:
+        u_rows = [(bn, m) for bn, ms in union_members.items() for m in set(ms)]
+        if u_rows:
+            union_df = F.broadcast(spark.createDataFrame(u_rows, ["bn", "member"]))
+            card = F.broadcast(
+                spark.createDataFrame(
+                    [(bn, len(set(ms))) for bn, ms in union_members.items() if ms],
+                    ["bn", "k"],
+                )
+            )
+
+    def derive_union_links(full: DataFrame) -> DataFrame:
+        # (bn, p, o) where EVERY member of union bn carries (member, p, o);
+        # union_df is schema-scale (broadcast), the join output is only
+        # the members' links, the count-distinct is map-side combinable
+        return (
+            union_df.join(full, F.col("member") == F.col("s"))
+            .groupBy("bn", "p", "o")
+            .agg(F.countDistinct("member").alias("n"))
+            .join(card, "bn")
+            .where(F.col("n") == F.col("k"))
+            .select(F.col("bn").alias("s"), "p", "o")
         )
 
-    def close_transitive(df: DataFrame) -> DataFrame:
-        closed_t = keyed_transitive_closure(
-            df.where(F.col("p").isin(*transitive)), key="p", keep_self=True
+    def close_transitive_delta(full: DataFrame, d: DataFrame, scratch: bool) -> DataFrame:
+        # incremental keyed TC: full's transitive subset is closed from
+        # prior rounds except for derivations involving d's edges
+        c_t = full.where(F.col("p").isin(*transitive)).localCheckpoint(eager=False)
+        d_t = d.where(F.col("p").isin(*transitive)).localCheckpoint(eager=False)
+        return _seminaive_closure(
+            c_t, d_t, keyed=True, keep_self=True, max_rounds=20,
+            both_sides=not scratch, op="property_closure.trans",
         )
-        return df.unionByName(closed_t.select("s", "p", "o"))
 
     # static schedule proof (driver-side, schema is tiny): hierarchy
     # expansion BEFORE the keyed TC already puts every subproperty edge
     # into its transitive supers, so one expand -> TC -> expand closes
     # all of T in one shot. A single chain pass then suffices unless a
     # chain target (or one of its supers) is transitive or re-enters a
-    # chain slot — only then does the outer fixpoint loop run.
+    # chain slot — only then does the outer fixpoint loop run. Union
+    # links can feed chains and other unions, so their presence forces
+    # the fixpoint too.
     def up(p: str) -> set[str]:
         return hierarchy.get(p, {p}) | {p}
 
-    one_pass = all(
+    one_pass = union_df is None and all(
         not (up(c[2]) & transitive) and not (up(c[2]) & (p1s | p2s))
         for c in chains
     )
     if one_pass:
-        new = close_transitive(r) if transitive else r
+        if transitive:
+            closed_t = close_transitive_delta(r, r, scratch=True)
+            new = r.unionByName(closed_t.select("s", "p", "o"))
+        else:
+            new = r
         if chain_df is not None:
             # checkpoint before composing: the chain join reads this
             # frame on BOTH sides — without it the whole upstream plan
             # (scan + expands + TC) executes twice in one job
             new = expand_hierarchy(new.dropDuplicates()).localCheckpoint(eager=False)
-            new = new.unionByName(compose_chains(new))
+            new = new.unionByName(compose_chains_delta(new, new, scratch=True))
         out = expand_hierarchy(new.dropDuplicates())
         return out.where(~F.col("p").startswith("_:step_"))
 
-    n_prev = r.count()
+    delta = r  # round 1 runs from scratch: the whole set is the frontier
+    scratch = True
     for _ in range(max_rounds):
-        new = r
+        parts: list[DataFrame] = []
         if transitive:
-            new = close_transitive(new)
+            parts.append(close_transitive_delta(r, delta, scratch))
         if chain_df is not None:
-            new = new.localCheckpoint(eager=False)  # shared by both join sides
-            new = new.unionByName(compose_chains(new))
-        r = (
+            parts.append(compose_chains_delta(delta, r, scratch))
+        if union_df is not None:
+            parts.append(derive_union_links(r))
+        new = parts[0]
+        for extra in parts[1:]:
+            new = new.unionByName(extra)
+        delta = (
             expand_hierarchy(new.dropDuplicates())
+            .join(r, ["s", "p", "o"], "left_anti")
             .localCheckpoint(eager=False)
         )
-        n_new = r.count()
-        if n_new == n_prev:
+        if delta.count() == 0:
             # synthetic chain-step properties never leave the operator
             return r.where(~F.col("p").startswith("_:step_"))
-        n_prev = n_new
+        r = r.unionByName(delta).localCheckpoint(eager=False)
+        scratch = False
     raise RuntimeError(f"property_closure: no fixpoint in {max_rounds} rounds")
 
 
@@ -587,8 +777,12 @@ def entail(
     """Full entailment over (already canonicalized) statements ->
     edges(subject, predicate, object) — the engine's re-expression of
     relation-graph's Whelk (EL) materialization, verified at
-    P/R >= 0.999 against the reference's own golden entailed_edge
-    (tests/test_reference_parity.py).
+    P/R >= 0.999 against the reference's own golden entailed_edge by
+    scripts/reference_parity.py (this engine end-to-end in Spark) and
+    scripts/reference_parity_oracle.py (single-process rule-set
+    saturation); the same rules are fuzz-equated to a Python oracle in
+    tests/test_closure.py and spot-checked on a subsampled statements
+    set in tests/test_reference_parity_sample.py.
 
     class_nodes: one-column DF ``id`` of all canonical class nodes
     (drives the reflexive rows, like --reflexive-subclasses true).
@@ -653,10 +847,18 @@ def entail(
         .select(F.col("x").alias("s"), F.col("prop").alias("p"), F.col("d").alias("o"))
     )
     # property-level entailment (relation-graph semantics: transitive
-    # object properties, subPropertyOf, property chains — the rules that
-    # dominate the reference's golden entailed_edge table)
+    # object properties, subPropertyOf, property chains, and the union
+    # link rule — the rules that dominate the reference's golden
+    # entailed_edge table). union_membership is schema-scale (one row
+    # per unionOf member axiom), so collecting it to the driver is the
+    # same dictionary pattern as property_schema.
     hierarchy, transitive, chains = property_schema(pruned)
-    prop_out = property_closure(base_prop, hierarchy, transitive, chains).select(
+    union_members: dict[str, list[str]] = {}
+    for row in union_membership.collect():
+        union_members.setdefault(row["bn"], []).append(row["member"])
+    prop_out = property_closure(
+        base_prop, hierarchy, transitive, chains, union_members
+    ).select(
         F.col("s").alias("subject"),
         F.col("p").alias("predicate"),
         F.col("o").alias("object"),

@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # iterative union plans (semi-naive closure/CC rounds) both
+        # trip a Catalyst Union.rewriteConstraints NoSuchElementException
+        # on lazily-checkpointed children and pay an optimizer cost that
+        # grows with union depth; disabling constraint propagation is
+        # the standard setting for iterative Spark graph algorithms
+        # (it only disables inferred IsNotNull/redundant-filter rules)
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -332,7 +332,7 @@ def test_cyclic_subproperty_hierarchy(spark):
     assert got == {("x", "p", "y"), ("x", "q", "y")}
 
 
-def _py_property_saturation(edges, hierarchy, transitive, chains):
+def _py_property_saturation(edges, hierarchy, transitive, chains, union_members=None):
     """Independent fixpoint oracle over (s, p, o) sets."""
     cur = set(edges)
     while True:
@@ -340,6 +340,19 @@ def _py_property_saturation(edges, hierarchy, transitive, chains):
         for s, p, o in cur:
             for q in hierarchy.get(p, ()):
                 new.add((s, q, o))
+        if union_members:
+            by_src = {}
+            for s, p, o in new:
+                by_src.setdefault(s, set()).add((p, o))
+            for bn, ms in union_members.items():
+                if not ms:
+                    continue
+                common = None
+                for m in ms:
+                    lm = by_src.get(m, set())
+                    common = set(lm) if common is None else (common & lm)
+                for p, o in common or ():
+                    new.add((bn, p, o))
         for t in transitive:
             adj = {}
             for s, p, o in new:
@@ -412,3 +425,39 @@ def test_property_closure_fuzz_vs_python(spark):
                 ).collect()
             }
             assert got == want, (trial, thr, sorted(got ^ want)[:6], transitive, chains)
+
+
+def test_property_closure_union_rule_fuzz(spark):
+    """Union link rule (a union expression node inherits the COMMON
+    links of its members — the LINK_UNION rule of the parity oracle)
+    against an independent Python fixpoint, in BOTH regimes, with
+    chains feeding on union-derived links."""
+    import random
+
+    from kbase_cdm_ontologies_spark.operators.closure import property_closure
+
+    rng = random.Random(1234)
+    props = ["p0", "p1", "p2"]
+    hierarchy = {"p0": {"p0", "p2"}, "p1": {"p1"}, "p2": {"p2"}}
+    for trial in range(4):
+        nodes = [f"n{i}" for i in range(8)]
+        unions = {"_:u0": rng.sample(nodes, 2), "_:u1": rng.sample(nodes + ["_:u0"], 2)}
+        edges = {
+            (rng.choice(nodes + list(unions)), rng.choice(props), rng.choice(nodes))
+            for _ in range(20)
+        }
+        transitive = {"p2"} if trial % 2 else set()
+        chains = [("p0", "p1", "p1")] if trial >= 2 else []  # self-feeding target
+        want = _py_property_saturation(
+            edges, hierarchy, transitive, chains, union_members=unions
+        )
+        df = spark.createDataFrame(sorted(edges), ["s", "p", "o"])
+        for thr in (2_000_000, 0):
+            got = {
+                (r["s"], r["p"], r["o"])
+                for r in property_closure(
+                    df, hierarchy, transitive, chains,
+                    union_members=unions, local_threshold=thr,
+                ).collect()
+            }
+            assert got == want, (trial, thr, sorted(got ^ want)[:6])
