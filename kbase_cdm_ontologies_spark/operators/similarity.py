@@ -128,12 +128,17 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 1,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket
     plus the n_probes-1 nearest perturbation buckets (multi-probe —
     recovers the recall a single probe loses at scale without adding
     hash tables). The bucket predicate is a literal IN-list, so at
-    scale a bucket-partitioned layout prunes scan partitions."""
+    scale a bucket-partitioned layout prunes scan partitions.
+
+    round_dp: round the cosine (and order by the rounded value) so the
+    top-k cut is reproducible across engines with different float
+    summation orders — the oracle-parity mode."""
     dim = len(query_vec)
     planes = _seeded_hyperplanes(dim, n_planes, seed)
     emb = embeddings.select(
@@ -142,9 +147,12 @@ def lsh_topk(
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
     probes = _probe_sequence(query_vec, planes, n_probes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine_expr(F.col("v"), q)
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
     return (
         emb.where(F.col("bucket").isin(probes))
-        .select("vec_id", cosine_expr(F.col("v"), q).alias("cosine"))
+        .select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

@@ -1083,9 +1083,52 @@ def dedup_embedding_lsh_bucketed(spark, sf_dir):
     )
 
 
-@q("dedup_simhash")  # no SQL oracle: bit-level simhash (rows-only check)
+_SIMHASH_ORACLE = f"""
+    WITH d AS {_DUPED},
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+             FROM d WHERE text <> ''),
+    -- two 60-bit halves of md5(token), exactly the engine's layout
+    -- (conv(hex,16,10)); UBIGINT keeps the 64-bit pattern DuckDB-side
+    -- where BIGINT 1<<63 would overflow — bit patterns are identical
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(token), 1, 15) AS UBIGINT) AS h60,
+             CAST('0x' || substr(md5(token), 16, 15) AS UBIGINT) AS h60b
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, bit,
+             CAST((CASE WHEN bit < 32 THEN h60 >> bit ELSE h60b >> (bit - 32) END) % 2 AS INT) AS b
+      FROM hashed CROSS JOIN (SELECT unnest(range(0, 64)) AS bit)
+    ),
+    votes AS (
+      SELECT doc_id, bit, SUM(CASE WHEN b = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, bit
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << bit ELSE 0 END) AS UBIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, chunk, (simhash >> (chunk * 16)) & 65535 AS ckey
+      FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.ckey = b.ckey
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@q("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_near_pairs(_duped_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+    out = dedup.simhash_near_pairs(_duped_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -1122,14 +1165,74 @@ def ann_cosine_scores(spark, sf_dir):
     )
 
 
-@q("ann_lsh_topk")  # approximate: verified by recall tests, rows-only here
+def _ann_lsh_oracle() -> str:
+    """DuckDB oracle for multi-probe LSH top-k. The md5-seeded
+    hyperplanes are deterministic literals embedded in the SQL (like
+    the bucketed near-dup oracle); the query-directed probe sequence
+    (Lv et al. multi-probe: own bucket, then flips ordered by boundary
+    distance) is data-dependent, so it is recomputed IN SQL from the
+    vec_id=0 row's plane dots over the static flip-set table
+    (∅ + singles + pairs, ordered by summed |dot|, ties by index list
+    — the same (dist, idxs) tuple order as _probe_sequence)."""
+    from .operators.similarity import _seeded_hyperplanes
+
+    n_planes, n_probes, k = 6, 8, 10
+    planes = _seeded_hyperplanes(64, n_planes, seed=7)
+    lits = ["[" + ", ".join(repr(x) for x in pl) + "]" for pl in planes]
+    dots = "[" + ", ".join(f"list_dot_product(qv, {pl})" for pl in lits) + "]"
+    flip_rows = ", ".join(
+        ["(CAST([] AS INTEGER[]))"]
+        + [f"([{i}])" for i in range(1, n_planes + 1)]
+        + [
+            f"([{i}, {j}])"
+            for i in range(1, n_planes + 1)
+            for j in range(i + 1, n_planes + 1)
+        ]
+    )
+    probe_bucket = " || ".join(
+        f"(CASE WHEN (dots[{p}] >= 0) <> list_contains(f, {p}) THEN '1' ELSE '0' END)"
+        for p in range(1, n_planes + 1)
+    )
+    data_bucket = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {pl}) >= 0 THEN '1' ELSE '0' END)"
+        for pl in lits
+    )
+    return f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), d AS (
+      SELECT {dots} AS dots, qv FROM q
+    ), flips(f) AS (VALUES {flip_rows}),
+    probes AS (
+      SELECT {probe_bucket} AS bucket
+      FROM d CROSS JOIN flips
+      ORDER BY coalesce(list_sum(list_transform(f, i -> abs(dots[i]))), 0), f
+      LIMIT {n_probes}
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {data_bucket} AS bucket FROM v
+    )
+    SELECT b.vec_id,
+           round(list_dot_product(b.v, d.qv)
+                 / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(d.qv, d.qv))),
+                 6) AS cosine
+    FROM b JOIN probes p ON b.bucket = p.bucket CROSS JOIN d
+    ORDER BY cosine DESC, b.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@q("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
-    return similarity.lsh_topk(emb, qvec, k=10, n_planes=6, n_probes=8)
+    return similarity.lsh_topk(emb, qvec, k=10, n_planes=6, n_probes=8, round_dp=6)
 
 
 # ---------------------------------------------------------------------------
