@@ -125,9 +125,28 @@ def main(argv: list[str] | None = None) -> int:
     export_report_path = f"{args.out}/export_report.json"
     import os as _os
 
+    def _exports_intact(report: list[dict]) -> bool:
+        # the memoized branch skips regenerating the export sinks, so it
+        # must first confirm they still exist on disk — a deleted or
+        # hollowed-out sink means the record is stale and the exports
+        # must be rewritten (mirrors the snapshot validation stage
+        # tables get)
+        side = [f"{args.out}/analysis_json", f"{args.out}/term_list"]
+        side += [
+            _os.path.join(args.out, kind, r["table"])
+            for r in report
+            for kind in ("tsv_tables", "parquet_files")
+        ]
+        return all(_os.path.exists(p) and _os.listdir(p) for p in side)
+
     if not ck.stages_run and _os.path.exists(export_report_path):
         with open(export_report_path) as f:
             export_report = json.load(f)
+        if not _exports_intact(export_report):
+            export_report = None
+    else:
+        export_report = None
+    if export_report is not None:
         wall = time.time() - t0
         report = _final_report(args, corpus, out, ck, n_edges, n_nodes, export_report, wall)
         print(json.dumps(report))

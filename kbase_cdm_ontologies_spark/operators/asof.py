@@ -33,7 +33,12 @@ def asof_join(
     by the left columns, so fully identical left rows each keep their
     own match row."""
     lcols = list(left.columns)
-    l = left.withColumn("_lrow", F.monotonically_increasing_id())
+    # pin the non-deterministic ids: a stage retry / speculative re-run
+    # after the join shuffle would otherwise regenerate different ids
+    # and duplicate or drop left rows (same pin as the bucketed variant)
+    l = left.withColumn("_lrow", F.monotonically_increasing_id()).localCheckpoint(
+        eager=False
+    )
     r = right.select(
         F.col(key).alias("_k"), *[c for c in right.columns if c != key]
     )

@@ -107,8 +107,12 @@ class CheckpointManager:
     @staticmethod
     def _snapshot_valid(entry: dict, out_path: str) -> bool:
         recorded = entry.get("snapshot_sha")
-        if recorded is None:  # legacy manifest or live-catalog table
-            return True
+        if recorded is None:
+            # None is only written for live-catalog (Iceberg) tables,
+            # whose snapshots the catalog itself validates. A fallback
+            # table with a sibling commit log but no recorded sha is a
+            # stale/legacy manifest — force a re-run rather than trust it
+            return current_snapshot(out_path) is None
         snap = current_snapshot(out_path)
         if snap is None or snap["content_sha"] != recorded:
             return False

@@ -1493,15 +1493,18 @@ def streaming_dedup(spark, sf_dir):
     return _sd(spark, f"{sf_dir}/events.parquet", watermark_minutes=60)
 
 
-@q("multimodal_image_features")  # stub decode kernel: rows-only check
+@q("multimodal_image_features")  # real PNG decode; luma not SQL-expressible -> rows-only
 def multimodal_image_features(spark, sf_dir):
-    from .operators.multimodal import image_features
+    """Real round-trip: deterministic PNG bytes generated per document,
+    decoded by the pure-stdlib kernel (zlib inflate + filter
+    reconstruction) — no fake path anywhere in this query."""
+    from .operators.multimodal import image_features, synthetic_image_assets
 
-    assets = _t(spark, sf_dir, "documents").select(
+    ids = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("asset_id"),
-        F.encode("text", "utf-8").alias("data"),
+        F.col("doc_id").alias("seed"),
     )
-    return image_features(assets)
+    return image_features(synthetic_image_assets(ids), fake_decode=False)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -42,16 +42,27 @@ def _snapshot_log_path(path: str) -> str:
 
 
 def _table_content_sha(path: str) -> str:
-    """Fingerprint of the committed data files (relative name + size),
-    the fallback analog of an Iceberg manifest list. Detects any
-    out-of-band rewrite/tamper of the table directory."""
+    """Fingerprint of the committed data files (relative name + size +
+    sampled content: sha256 of the first and last 64 KiB of each file),
+    the fallback analog of an Iceberg manifest list. The content sample
+    catches out-of-band rewrites that preserve file names and sizes
+    (which a size-only fingerprint would miss) without re-reading whole
+    tables on every resume; mtime is deliberately excluded — it changes
+    on touch without a content change."""
     entries = []
     for root, _dirs, files in os.walk(path):
         for f in sorted(files):
             if f.startswith(("_", ".")):
                 continue
             fp = os.path.join(root, f)
-            entries.append((os.path.relpath(fp, path), os.path.getsize(fp)))
+            size = os.path.getsize(fp)
+            h = hashlib.sha256()
+            with open(fp, "rb") as fh:
+                h.update(fh.read(65536))
+                if size > 131072:
+                    fh.seek(-65536, os.SEEK_END)
+                h.update(fh.read(65536))
+            entries.append((os.path.relpath(fp, path), size, h.hexdigest()))
     entries.sort()
     return hashlib.sha256(json.dumps(entries).encode()).hexdigest()
 
