@@ -258,8 +258,8 @@ def union_eliminated_subclass(
         union_membership.groupBy("bn").agg(F.countDistinct("member").alias("k"))
     )
     n_prev = sub.count()
+    tc = transitive_closure(sub)  # full closure once; extended below
     for _ in range(max_rounds):
-        tc = transitive_closure(sub)
         rtc = tc.unionByName(
             union_membership.select(F.col("member").alias("s"), F.col("member").alias("o"))
         ).dropDuplicates()
@@ -280,6 +280,24 @@ def union_eliminated_subclass(
         if n_new == n_prev:
             return sub
         n_prev = n_new
+        # extend the closure incrementally with the genuinely-new
+        # edges (semi-naive frontier, both split sides) instead of
+        # re-running a full transitive closure per outer round
+        delta = (
+            derived.where(F.col("s") != F.col("o"))
+            .dropDuplicates()
+            .join(tc, ["s", "o"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        tc = _seminaive_closure(
+            tc.unionByName(delta).localCheckpoint(eager=False),
+            delta,
+            keyed=False,
+            keep_self=False,
+            max_rounds=20,
+            both_sides=True,
+            op="union_eliminated_subclass.tc",
+        )
     return sub
 
 
@@ -483,13 +501,17 @@ def _local_property_saturation(
     for p in set(itertools.chain.from_iterable(up_props(q) for q in allprops)) | allprops:
         for q in up_props(p):
             downp[q].add(p)
-    # chains stay binary rules; transitivity closes by per-property BFS
-    # below (one sweep reaches every path depth — the binary rule needed
-    # O(depth) sweeps over the growing link set, measured 3x slower on
-    # deep part_of chains)
-    rules = [(downp[p1], downp[p2], r) for p1, p2, r in chains]
+    # chains stay binary rules (deduped after subrole expansion);
+    # transitivity closes by per-property BFS — one sweep reaches every
+    # path depth where the binary rule needed O(depth) growing sweeps
+    rules = list(
+        {
+            (frozenset(downp[p1]), frozenset(downp[p2]), r)
+            for p1, p2, r in chains
+        }
+    )
 
-    def lift(ls: set[tuple]) -> set[tuple]:
+    def lift(ls) -> set[tuple]:
         out = set(ls)
         for s, p, o in ls:
             for q in up_props(p):
@@ -497,26 +519,61 @@ def _local_property_saturation(
         return out
 
     links = lift(links)
+    # Everything below is SEMI-NAIVE with incremental indexes: the
+    # measured cost on the reference corpus was rule-count x |links|
+    # full rescans per round (238 s chains + 55 s transitivity in round
+    # 1 alone); indexing links by predicate / by subject-and-predicate /
+    # by object turns each round into work proportional to actual rule
+    # firings, and delta-driven rounds stop re-deriving old links.
+    by_pred: dict[str, list] = collections.defaultdict(list)   # p -> [(s, o)]
+    by_src_pred: dict = collections.defaultdict(dict)          # s -> {p: [o]}
+    by_obj: dict[str, list] = collections.defaultdict(list)    # o -> [(s, p)]
+
+    def index_links(ls) -> None:
+        for s, p, o in ls:
+            by_pred[p].append((s, o))
+            by_src_pred[s].setdefault(p, []).append(o)
+            by_obj[o].append((s, p))
+
+    index_links(links)
+    # rule lookup: predicate -> rules it can feed (left / right slot)
+    rules_by_p1: dict[str, list] = collections.defaultdict(list)
+    rules_by_p2: dict[str, list] = collections.defaultdict(list)
+    for ps1, ps2, r in rules:
+        for p in ps1:
+            rules_by_p1[p].append((ps1, ps2, r))
+        for p in ps2:
+            rules_by_p2[p].append((ps1, ps2, r))
+    unions_by_member: dict[str, list] = collections.defaultdict(list)
+    for bn, ms in (union_members or {}).items():
+        for m in set(ms):
+            unions_by_member[m].append(bn)
+
+    def union_common(bn) -> set:
+        ms = union_members[bn]
+        common: set | None = None
+        for m in ms:
+            lm = {
+                (p, o) for p, os in by_src_pred.get(m, {}).items() for o in os
+            }
+            common = lm if common is None else (common & lm)
+            if not common:
+                return set()
+        return common or set()
+
     dirty = dict.fromkeys(transitive, True)
     emitted: dict[str, set] = {t: set() for t in transitive}
-    prev_new: set = set()
+    delta: set | None = None  # None = first round (everything is new)
     while True:
         new = set()
-        if union_members or rules:
-            by_src = collections.defaultdict(list)
-            for s, p, o in links:
-                by_src[s].append((p, o))
         if union_members:
-            for bn, ms in union_members.items():
-                if not ms:
-                    continue
-                common: set | None = None
-                for m in ms:
-                    lm = set(by_src.get(m, ()))
-                    common = lm if common is None else (common & lm)
-                    if not common:
-                        break
-                for p, o in common or ():
+            touched = (
+                set(union_members)
+                if delta is None
+                else {bn for s, _p, _o in delta for bn in unions_by_member.get(s, ())}
+            )
+            for bn in touched:
+                for p, o in union_common(bn):
                     if (bn, p, o) not in links:
                         new.add((bn, p, o))
         for t in transitive:
@@ -526,12 +583,11 @@ def _local_property_saturation(
             # since its last run are its own emissions: those are
             # shortcuts of already-traversed paths and cannot change
             # reachability.
-            tdown = downp[t]
             if not dirty[t]:
                 continue
             adj: dict = {}
-            for s, p, o in links:
-                if p in tdown:
+            for p in downp[t]:
+                for s, o in by_pred.get(p, ()):
                     adj.setdefault(s, set()).add(o)
             emit = emitted[t]
             for s in adj:
@@ -548,21 +604,37 @@ def _local_property_saturation(
                     if tr not in links:
                         new.add(tr)
             dirty[t] = False
-        for ps1, ps2, r in rules:
-            for s, p, o in links:
-                if p in ps1:
-                    for p2, o2 in by_src.get(o, ()):
-                        if p2 in ps2 and (s, r, o2) not in links:
+        # chain compositions: at least one premise from the delta
+        left_feed = (
+            links if delta is None else delta
+        )
+        for s, p, o in left_feed:
+            for ps1, ps2, r in rules_by_p1.get(p, ()):
+                right = by_src_pred.get(o)
+                if not right:
+                    continue
+                for p2 in (ps2 & right.keys() if len(ps2) < len(right) else
+                           [k for k in right if k in ps2]):
+                    for o2 in right[p2]:
+                        if (s, r, o2) not in links:
                             new.add((s, r, o2))
+        if delta is not None:
+            for y, p2, z in delta:  # delta in the RIGHT premise slot
+                for ps1, ps2, r in rules_by_p2.get(p2, ()):
+                    for s, p in by_obj.get(y, ()):
+                        if p in ps1 and (s, r, z) not in links:
+                            new.add((s, r, z))
         if not new and not any(dirty.values()):
             return {t for t in links if not t[1].startswith("_:step_")}
-        prev_new = lift(new) - links
-        links |= prev_new
+        delta = lift(new) - links
+        links |= delta
+        index_links(delta)
         for t in transitive:
             if not dirty[t]:
+                tdown = downp[t]
+                emit = emitted[t]
                 dirty[t] = any(
-                    p in downp[t] and (s, p, o) not in emitted[t]
-                    for s, p, o in prev_new
+                    p in tdown and (s, p, o) not in emit for s, p, o in delta
                 )
 
 
@@ -773,6 +845,7 @@ def restriction_nodes(pruned: DataFrame) -> DataFrame:
 def entail(
     statements: DataFrame,
     class_nodes: DataFrame,
+    property_local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Full entailment over (already canonicalized) statements ->
     edges(subject, predicate, object) — the engine's re-expression of
@@ -857,7 +930,8 @@ def entail(
     for row in union_membership.collect():
         union_members.setdefault(row["bn"], []).append(row["member"])
     prop_out = property_closure(
-        base_prop, hierarchy, transitive, chains, union_members
+        base_prop, hierarchy, transitive, chains, union_members,
+        local_threshold=property_local_threshold,
     ).select(
         F.col("s").alias("subject"),
         F.col("p").alias("predicate"),

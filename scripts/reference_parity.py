@@ -45,6 +45,13 @@ def main() -> int:
         default="/root/reference/outputs_test/parquet_files/entailed_edge.parquet",
     )
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--distributed",
+        action="store_true",
+        help="force the distributed property-closure fixpoint "
+        "(local_threshold=0) instead of the hybrid driver saturation — "
+        "the regime a 100 TB corpus would run",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -69,7 +76,11 @@ def main() -> int:
     t0 = time.time()
     got = {
         (r["subject"], r["predicate"], r["object"])
-        for r in entail(stmts, class_nodes).collect()
+        for r in entail(
+            stmts,
+            class_nodes,
+            property_local_threshold=0 if args.distributed else 2_000_000,
+        ).collect()
     }
     wall = round(time.time() - t0, 1)
     gold = {
