@@ -39,6 +39,7 @@ LOGIC_PREDICATES = (
     # property-level schema (relation-graph OWL EL semantics):
     "rdfs:subPropertyOf",
     "owl:propertyChainAxiom",
+    "rdfs:domain",
     "rdf:first",
     "rdf:rest",
     # anonymous class expressions (EL conjunction/union normalization):
@@ -58,6 +59,18 @@ def prune_for_closure(statements: DataFrame) -> DataFrame:
         F.col("predicate").isin(*LOGIC_PREDICATES)
         & (F.col("subject") != "owl:Nothing")
         & (F.coalesce(F.col("object"), F.lit("")) != "owl:Nothing")
+    )
+
+
+def _arrow_df(spark, rows, schema):
+    """createDataFrame via pandas/Arrow for driver-computed results —
+    the plain-list path pickles row-by-row (~10s per million rows);
+    Arrow batches cut that by an order of magnitude."""
+    import pandas as pd
+
+    names = [f.name for f in schema.fields]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=names), schema=schema
     )
 
 
@@ -179,8 +192,8 @@ def transitive_closure(
     if local_threshold and c.count() <= local_threshold:
         closed = _local_closure([("_", r["s"], r["o"]) for r in c.collect()], 5_000_000)
         if closed is not None:
-            return c.sparkSession.createDataFrame(
-                [(s, o) for _k, s, o in closed], schema=c.schema
+            return _arrow_df(
+                c.sparkSession, [(s, o) for _k, s, o in closed], c.schema
             )
     return _seminaive_closure(
         c, c, keyed=False, keep_self=False, max_rounds=max_rounds
@@ -351,7 +364,7 @@ def keyed_transitive_closure(
                 [(r["p"], r["s"], r["o"]) for r in c.collect()], 5_000_000, keep_self
             )
             if closed is not None:
-                return c.sparkSession.createDataFrame(closed, schema=c.schema)
+                return _arrow_df(c.sparkSession, closed, c.schema)
     # no shuffle_hash hint in the frontier join: hub (p, mid) keys are
     # REAL in ontology property graphs and AQE's skew splitting only
     # applies to sort-merge joins — the hint produced a measured
@@ -697,7 +710,7 @@ def property_closure(
                     {(row["s"], row["p"], row["o"]) for row in r.collect()},
                     hierarchy, transitive, chains, union_members,
                 )
-                return spark.createDataFrame(sorted(closed), schema=r.schema)
+                return _arrow_df(spark, sorted(closed), r.schema)
 
     def expand_hierarchy(df: DataFrame) -> DataFrame:
         if not hier_rows:
@@ -871,7 +884,24 @@ def entail(
         (F.col("predicate") == "rdfs:subClassOf") & F.col("object").isNotNull()
     ).select(F.col("subject").alias("s"), F.col("object").alias("o"))
     expr_edges, union_membership = expression_edges(pruned)
-    sub = sub_all.unionByName(expr_edges).dropDuplicates().localCheckpoint(eager=False)
+    # rdfs:domain rule (Whelk applies it; closes e.g. golden edges whose
+    # nested-restriction fillers ascend to the property's domain):
+    # every restriction node ∃p.C is a subclass of domain(p) — the
+    # domain table is schema-scale, broadcast
+    domains = pruned.where(F.col("predicate") == "rdfs:domain").select(
+        F.col("subject").alias("prop"), F.col("object").alias("dom")
+    )
+    domain_edges = (
+        restriction_nodes(pruned)
+        .join(F.broadcast(domains), "prop")
+        .select(F.col("a").alias("s"), F.col("dom").alias("o"))
+    )
+    sub = (
+        sub_all.unionByName(expr_edges)
+        .unionByName(domain_edges)
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
     if union_membership.limit(1).count() > 0:
         sub = union_eliminated_subclass(sub, union_membership)
     tc = transitive_closure(sub)  # strict
