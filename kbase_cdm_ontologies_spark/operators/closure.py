@@ -113,7 +113,9 @@ def _seminaive_closure(
     max_rounds: int,
     both_sides: bool = False,
     op: str = "transitive_closure",
-) -> DataFrame:
+    return_new: bool = False,
+    consolidate: bool = False,
+):
     """Semi-naive (frontier) transitive-closure rounds: each round joins
     only the FRONTIER (pairs first discovered last round) against the
     accumulated closure, never closure ⋈ closure — per-round shuffle is
@@ -137,7 +139,13 @@ def _seminaive_closure(
 
     Preconditions: c is deduplicated, delta ⊆ c, and c is closed except
     for derivations involving delta. One Spark action per round (the
-    frontier count, which also materializes the lazy checkpoints)."""
+    frontier count, which also materializes the lazy checkpoints).
+
+    return_new=True additionally returns the union of all frontiers
+    (exactly the pairs in the result but not in the input c) — callers
+    embedding this closure in an outer fixpoint consume ONLY the new
+    pairs, so closure-sized frames never flow through the outer loop's
+    dedup/expand/anti-join stages."""
     cols = (["p"] if keyed else []) + ["s", "o"]
 
     def hop_join(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -150,6 +158,8 @@ def _seminaive_closure(
             F.col("b.o").alias("o"),
         )
 
+    news: list[DataFrame] = []
+    owned: list[DataFrame] = []  # checkpoints created here — bounded cache
     for _ in range(max_rounds):
         hop = hop_join(delta, c)
         if both_sides:
@@ -162,9 +172,32 @@ def _seminaive_closure(
             .localCheckpoint(eager=False)
         )
         if delta.count() == 0:
-            return c
+            out_new = None
+            if return_new:
+                out_new = news[0] if news else c.limit(0)
+                for d in news[1:]:
+                    out_new = out_new.unionByName(d)
+            if not (consolidate and owned):
+                return (c, out_new) if return_new else c
+            # consolidate=True (calls embedded in an OUTER fixpoint):
+            # fold the result into ONE checkpoint and release the
+            # per-round copies — an outer loop that accumulates every
+            # inner round's checkpoint grows the storage pool past
+            # eviction and later rounds pay recompute/spill-reread of
+            # the whole chain. Standalone calls skip the extra copy.
+            out_c = c.localCheckpoint(eager=True)
+            if out_new is not None:
+                out_new = out_new.localCheckpoint(eager=True)
+            for f in owned:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+            return (out_c, out_new) if return_new else out_c
         # disjoint by construction (anti-join) — no dedup needed here
         c = c.unionByName(delta).localCheckpoint(eager=False)
+        owned += [delta, c]
+        news.append(delta)
     raise RuntimeError(f"{op}: no fixpoint in {max_rounds} frontier rounds")
 
 
@@ -310,6 +343,7 @@ def union_eliminated_subclass(
             max_rounds=20,
             both_sides=True,
             op="union_eliminated_subclass.tc",
+            consolidate=True,
         )
     return sub
 
@@ -731,22 +765,33 @@ def property_closure(
     def compose_chains_delta(d: DataFrame, full: DataFrame, scratch: bool) -> DataFrame:
         # semi-naive: at least one premise comes from the delta; both
         # join inputs pre-filtered to the properties the chain table can
-        # actually consume — the shuffle carries only chain feed
-        def one_side(left: DataFrame, right: DataFrame) -> DataFrame:
-            return (
-                left.where(F.col("p").isin(*p1s)).alias("a")
-                .join(chain_df, F.col("a.p") == F.col("p1"))
-                .join(
-                    right.where(F.col("p").isin(*p2s)).alias("b"),
-                    (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
-                )
-                .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
+        # actually consume — the shuffle carries only chain feed.
+        # JOIN ORDER MATTERS (no CBO -> Catalyst keeps the written
+        # order): the broadcast chain table always binds the SMALL
+        # (delta) side first, so the rule-expansion (one row per
+        # matching chain) happens on the frontier, never on the full
+        # accumulated link set.
+        left = (
+            d.where(F.col("p").isin(*p1s)).alias("a")
+            .join(chain_df, F.col("a.p") == F.col("p1"))
+            .join(
+                full.where(F.col("p").isin(*p2s)).alias("b"),
+                (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
             )
-
-        left = one_side(d, full)
+            .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
+        )
         if scratch:  # d == full: one direction covers both premises
             return left
-        return left.unionByName(one_side(full, d))
+        right = (
+            d.where(F.col("p").isin(*p2s)).alias("b")
+            .join(chain_df, F.col("b.p") == F.col("p2"))
+            .join(
+                full.where(F.col("p").isin(*p1s)).alias("a"),
+                (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("p1")),
+            )
+            .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
+        )
+        return left.unionByName(right)
 
     union_df = card = None
     if union_members:
@@ -775,13 +820,18 @@ def property_closure(
 
     def close_transitive_delta(full: DataFrame, d: DataFrame, scratch: bool) -> DataFrame:
         # incremental keyed TC: full's transitive subset is closed from
-        # prior rounds except for derivations involving d's edges
+        # prior rounds except for derivations involving d's edges.
+        # Returns ONLY the newly-derived pairs — the closure itself
+        # lives in `r`; hauling it back through the outer loop's
+        # dedup/expand/anti would shuffle closure-sized frames per round
         c_t = full.where(F.col("p").isin(*transitive)).localCheckpoint(eager=False)
         d_t = d.where(F.col("p").isin(*transitive)).localCheckpoint(eager=False)
-        return _seminaive_closure(
+        _c, new = _seminaive_closure(
             c_t, d_t, keyed=True, keep_self=True, max_rounds=20,
             both_sides=not scratch, op="property_closure.trans",
+            return_new=True, consolidate=True,
         )
+        return new
 
     # static schedule proof (driver-side, schema is tiny): hierarchy
     # expansion BEFORE the keyed TC already puts every subproperty edge
@@ -813,28 +863,68 @@ def property_closure(
         out = expand_hierarchy(new.dropDuplicates())
         return out.where(~F.col("p").startswith("_:step_"))
 
+    import os as _os
+    import time as _time
+
+    debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
     delta = r  # round 1 runs from scratch: the whole set is the frontier
     scratch = True
-    for _ in range(max_rounds):
+    owned: list[DataFrame] = []  # superseded checkpoints — bounded cache
+    for rnd in range(max_rounds):
+        t0 = _time.time()
         parts: list[DataFrame] = []
         if transitive:
             parts.append(close_transitive_delta(r, delta, scratch))
+            if debug:
+                print(f"[pc] round {rnd} trans {_time.time() - t0:.1f}s "
+                      f"new={parts[-1].count()}", flush=True)
         if chain_df is not None:
+            t1 = _time.time()
             parts.append(compose_chains_delta(delta, r, scratch))
+            if debug:
+                print(f"[pc] round {rnd} chains {_time.time() - t1:.1f}s", flush=True)
         if union_df is not None:
+            t1 = _time.time()
             parts.append(derive_union_links(r))
+            if debug:
+                print(f"[pc] round {rnd} union {_time.time() - t1:.1f}s", flush=True)
         new = parts[0]
         for extra in parts[1:]:
             new = new.unionByName(extra)
+        t1 = _time.time()
+        prev_delta = delta if rnd > 0 else None
         delta = (
             expand_hierarchy(new.dropDuplicates())
             .join(r, ["s", "p", "o"], "left_anti")
             .localCheckpoint(eager=False)
         )
-        if delta.count() == 0:
-            # synthetic chain-step properties never leave the operator
-            return r.where(~F.col("p").startswith("_:step_"))
-        r = r.unionByName(delta).localCheckpoint(eager=False)
+        n_delta = delta.count()
+        if debug:
+            print(f"[pc] round {rnd} expand+anti {_time.time() - t1:.1f}s "
+                  f"delta={n_delta} total_round={_time.time() - t0:.1f}s", flush=True)
+        if n_delta == 0:
+            # synthetic chain-step properties never leave the operator.
+            # Consolidate to one checkpoint and drop the per-round
+            # copies (see _seminaive_closure on why leaving them cached
+            # degrades every later round)
+            out = r.where(~F.col("p").startswith("_:step_"))
+            if owned:
+                out = out.localCheckpoint(eager=True)
+                for f in owned:
+                    try:
+                        f.unpersist()
+                    except Exception:
+                        pass
+            return out
+        prev_r = r if rnd > 0 else None
+        r = r.unionByName(delta).localCheckpoint(eager=True)
+        for f in (prev_delta, prev_r):
+            if f is not None:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+        owned += [delta, r]
         scratch = False
     raise RuntimeError(f"property_closure: no fixpoint in {max_rounds} rounds")
 
