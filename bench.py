@@ -409,7 +409,7 @@ def main() -> int:
         probe = run_pipeline_bench(30_000, args.master, with_graph=False)
         report["pipeline_docs_per_sec"] = probe["docs_per_sec"]
         report["pipeline_pages"] = probe["pages"]
-        report["scaling_protocol"] = "see BENCH.md / bench.py --scaling (steady-state eff 0.94/0.92 r1, 0.917 r2)"
+        report["scaling_protocol"] = "see BENCH.md / bench.py --scaling (steady-state eff 0.917 r2, 0.992 r3 @200k pages)"
     except Exception as e:  # never fail the headline report on the probe
         report["pipeline_probe_error"] = str(e)[:200]
     print(json.dumps(report))
