@@ -285,6 +285,34 @@ def test_property_edges_propagate_through_subclass(spark):
     assert {("w", "p", "y"), ("w", "p", "z"), ("x", "p", "z")} <= got
 
 
+def test_domain_rule(spark):
+    """rdfs:domain (Whelk role domains): a restriction node ∃p.C is a
+    subclass of domain(p) — holders inherit it as a subclass edge, and
+    NESTED restriction fillers ascend to the domain and its supers
+    (the rule that closed the last golden-edge families in the
+    reference parity run)."""
+    rows = (
+        _restriction("a", "_:b1", "p", "c")
+        + [
+            ("p", "rdfs:domain", "D"),
+            ("D", "rdfs:subClassOf", "E"),
+        ]
+        # nested: x ⊑ ∃q.(∃p.c) — the inner bnode is the filler
+        + [("x", "rdfs:subClassOf", "_:b2")]
+        + [
+            ("_:b2", "owl:onProperty", "q"),
+            ("_:b2", "owl:someValuesFrom", "_:b3"),
+            ("_:b3", "owl:onProperty", "p"),
+            ("_:b3", "owl:someValuesFrom", "c"),
+        ]
+    )
+    got = _entail(spark, rows, ["a", "c", "x", "D", "E"])
+    # holder-level: a ⊑ ∃p.c ⊑ domain(p)=D ⊑ E
+    assert {("a", "rdfs:subClassOf", "D"), ("a", "rdfs:subClassOf", "E")} <= got
+    # nested-filler ascent: x gets (x, q, D) and (x, q, E)
+    assert {("x", "q", "D"), ("x", "q", "E")} <= got
+
+
 def test_keyed_transitive_closure_matches_per_key_bfs(spark):
     import random
 
