@@ -1374,17 +1374,47 @@ def kg_mentions_operator(spark, sf_dir):
     return detect_mentions(d, alias)
 
 
-@q("approx_distinct_stats")  # approximate by design: rows-only check
+@q(
+    "approx_distinct_stats",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_parts_ok,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_stats(spark, sf_dir):
+    """Sketch-based stats (HLL++ approx_count_distinct, GK
+    percentile_approx) tolerance-gated against their exact
+    counterparts INSIDE the query: each *_ok column asserts
+    |approx - exact| / exact <= 2%, so the hash gate passes exactly
+    when the sketches hold their advertised accuracy (the oracle
+    recomputes the exact side and emits TRUE literals)."""
     li = _t(spark, sf_dir, "lineitem")
-    # scalar quantile columns (not one array column) so the harness's
-    # rows-only canonicalization can sort the result deterministically
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+
+    def ok(approx_col, exact_col):
+        return (
+            F.abs(approx_col - exact_col) / exact_col <= F.lit(0.02)
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.005).alias("_ap"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.95).alias("p95"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("p99"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_a50"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("_a95"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("_a99"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("_e95"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("_e99"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        ok(F.col("_ap"), F.col("exact_parts")).alias("approx_parts_ok"),
+        ok(F.col("_a50"), F.col("_e50")).alias("p50_ok"),
+        ok(F.col("_a95"), F.col("_e95")).alias("p95_ok"),
+        ok(F.col("_a99"), F.col("_e99")).alias("p99_ok"),
     )
 
 
@@ -1493,18 +1523,50 @@ def streaming_dedup(spark, sf_dir):
     return _sd(spark, f"{sf_dir}/events.parquet", watermark_minutes=60)
 
 
-@q("multimodal_image_features")  # real PNG decode; luma not SQL-expressible -> rows-only
+# The fixture PNGs come from synthesize_image: pure arithmetic over
+# seed=doc_id with fixed 24x16 geometry, so width/height/mean_luma are
+# exactly recomputable in SQL (encode->decode is lossless; verified
+# bit-identical for ALL 100,000 possible seeds under the %.10g
+# normalization). n_bytes/sha256 stay out of this projection (zlib
+# isn't SQL) and are pytest-verified in test_multimodal instead.
+_MULTIMODAL_ORACLE = """
+    WITH px AS (
+      SELECT d.doc_id, (d.doc_id % 100000) AS s, x.x AS x, y.y AS y
+      FROM documents d,
+           (SELECT unnest(range(0, 24)) AS x) x,
+           (SELECT unnest(range(0, 16)) AS y) y
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(24 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           round((0.299 * CAST(sum((x*7 + s) % 256) AS DOUBLE)
+                + 0.587 * CAST(sum((y*5 + 2*s) % 256) AS DOUBLE)
+                + 0.114 * CAST(sum((x + y + 3*s) % 256) AS DOUBLE))
+                 / (24 * 16 * 255.0), 6) AS mean_luma
+    FROM px GROUP BY doc_id
+"""
+
+
+@q("multimodal_image_features", _MULTIMODAL_ORACLE)
 def multimodal_image_features(spark, sf_dir):
     """Real round-trip: deterministic PNG bytes generated per document,
     decoded by the pure-stdlib kernel (zlib inflate + filter
-    reconstruction) — no fake path anywhere in this query."""
+    reconstruction) — no fake path anywhere in this query. The oracle
+    recomputes the generator formula (Rec.601 over integer channel
+    sums) in DuckDB; decode is lossless, so decoded stats == formula."""
     from .operators.multimodal import image_features, synthetic_image_assets
 
     ids = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("asset_id"),
         F.col("doc_id").alias("seed"),
     )
-    return image_features(synthetic_image_assets(ids), fake_decode=False)
+    feats = image_features(synthetic_image_assets(ids), fake_decode=False)
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
