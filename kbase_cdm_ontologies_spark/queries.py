@@ -1506,21 +1506,82 @@ def text_chunking(spark, sf_dir):
     )
 
 
-@q("streaming_sessionization")  # stateful (applyInPandasWithState): rows-only
+# Gap-closed sessions are a pure function of the data: the whole file
+# lands in one micro-batch, the stateful fn sorts each user's events
+# by event time, and a session is emitted with closed_by='gap' exactly
+# when a LATER EVENT arrives past the gap. Only each user's final
+# session (closed by watermark timeout in a later batch, if one runs)
+# is batching-dependent — filtered out on both sides, so the oracle is
+# classic lag/cumsum sessionization minus the last session per user.
+_SESSIONIZATION_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ms, value FROM events
+    ), l AS (
+      SELECT user_id, ms, value,
+             CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                       > 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), s AS (
+      SELECT user_id, ms, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM l
+    ), g AS (
+      SELECT user_id, sess,
+             min(ms) AS start_ms, max(ms) AS end_ms,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT user_id,
+           strftime(make_timestamp((start_ms // 1000) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp((end_ms // 1000) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events, total_value
+    FROM g
+    QUALIFY sess < max(sess) OVER (PARTITION BY user_id)
+"""
+
+
+@q("streaming_sessionization", _SESSIONIZATION_ORACLE)
 def streaming_sessionization(spark, sf_dir):
+    """Stateful sessionization (applyInPandasWithState), restricted to
+    gap-closed sessions, which are deterministic — see the oracle
+    comment above. The timeout path stays exercised (and pytest-checked
+    in test_streaming) but is excluded from the oracled projection."""
     from .streaming.stateful import sessionize_stream
 
-    return sessionize_stream(spark, f"{sf_dir}/events.parquet", gap_minutes=30)
+    out = sessionize_stream(spark, f"{sf_dir}/events.parquet", gap_minutes=30)
+    return out.where(F.col("closed_by") == "gap").select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
 
 
-@q("streaming_dedup")  # which duplicate survives = arrival order: rows-only
+@q(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+)
 def streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicatesWithinWatermark) over the
-    event feed — bounded state via watermark eviction; the kept row per
-    key depends on arrival order, so the check is rows-only."""
+    event feed — bounded state via watermark eviction. WHICH duplicate
+    survives is arrival-order dependent, so the oracled projection
+    keeps only the columns the content key determines: one row per
+    distinct (user_id, event_type, value_cents) when the feed fits a
+    single watermark horizon / micro-batch (it does here — one file,
+    one trigger). event_id/ts survivors stay pytest-covered."""
     from .streaming.ingest import streaming_dedup as _sd
 
-    return _sd(spark, f"{sf_dir}/events.parquet", watermark_minutes=60)
+    out = _sd(spark, f"{sf_dir}/events.parquet", watermark_minutes=60)
+    return out.select("user_id", "event_type", "value_cents")
 
 
 # The fixture PNGs come from synthesize_image: pure arithmetic over

@@ -76,7 +76,12 @@ def streaming_dedup(
     viable on an unbounded 10^12-doc feed: re-crawls inside the horizon
     dedup exactly; older re-crawls are handled by the batch
     incremental anti-join (plans/incremental.py). Returns the drained
-    deduplicated batch (event_id, ts string, content_key)."""
+    deduplicated batch: (event_id, ts string, content_key) plus the
+    key's own inputs (user_id, event_type, value_cents). WHICH
+    duplicate survives is arrival-order dependent, so event_id/ts are
+    nondeterministic — but the key-determined columns are a pure
+    function of the data (one row per distinct key when the feed fits
+    one watermark horizon), which is what the oracle checks."""
     import os
 
     schema = (
@@ -87,13 +92,18 @@ def streaming_dedup(
     if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
         reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
         events_dir = os.path.dirname(events_dir)
-    # content key: duplicates = same (user, type, value) burst — the
-    # fixture's stand-in for same (url, content-sha) page re-crawls
+    # content key: duplicates = same (user, type, value-cents) burst —
+    # the fixture's stand-in for same (url, content-sha) page
+    # re-crawls. Cents (bigint) rather than a rounded double keeps the
+    # key string free of double-rendering differences across engines.
     stream = (
         reader.load(events_dir)
         .withColumn(
+            "value_cents", F.round(F.col("value") * 100).cast("long")
+        )
+        .withColumn(
             "content_key",
-            F.md5(F.concat_ws("|", "user_id", "event_type", F.round("value", 2))),
+            F.md5(F.concat_ws("|", "user_id", "event_type", "value_cents")),
         )
         .withWatermark("ts", f"{watermark_minutes} minutes")
         .dropDuplicatesWithinWatermark(["content_key"])
@@ -101,6 +111,9 @@ def streaming_dedup(
             "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
             "content_key",
+            "user_id",
+            "event_type",
+            "value_cents",
         )
     )
     qname = f"dedup_{uuid.uuid4().hex[:12]}"
@@ -114,4 +127,7 @@ def streaming_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(f"SELECT event_id, ts, content_key FROM {qname}")
+    return spark.sql(
+        f"SELECT event_id, ts, content_key, user_id, event_type, value_cents "
+        f"FROM {qname}"
+    )

@@ -21,7 +21,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
-    "n_events int, total_value double"
+    "n_events int, total_value double, closed_by string"
 )
 STATE_SCHEMA = "start long, last long, n int, total double"
 
@@ -38,11 +38,16 @@ def _sessionize(gap_seconds: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        # closed_by distinguishes deterministic closures (a later event
+        # arrived past the gap — a pure function of the data) from
+        # timeout flushes (emitted only when a later batch advances the
+        # watermark — arrival/batching dependent). Downstream oracles
+        # filter to 'gap'.
         closed: list[tuple] = []
         if state.hasTimedOut:
             if state.exists:
                 start, last, n, total = state.get
-                closed.append((user_id, start, last, n, total))
+                closed.append((user_id, start, last, n, total, "timeout"))
             state.remove()
         else:
             rows = pd.concat(list(pdfs))
@@ -60,14 +65,15 @@ def _sessionize(gap_seconds: int):
                 if start is None:
                     start, last, n, total = t, t, 1, v
                 elif t - last > gap_ms:
-                    closed.append((user_id, start, last, n, total))
+                    closed.append((user_id, start, last, n, total, "gap"))
                     start, last, n, total = t, t, 1, v
                 else:
                     last, n, total = max(last, t), n + 1, total + v
             state.update((int(start), int(last), int(n), float(total)))
             state.setTimeoutTimestamp(int(last) + gap_ms)
         out = pd.DataFrame(
-            closed, columns=["user_id", "start", "last", "n_events", "total_value"]
+            closed,
+            columns=["user_id", "start", "last", "n_events", "total_value", "closed_by"],
         )
         yield pd.DataFrame(
             {
@@ -76,6 +82,7 @@ def _sessionize(gap_seconds: int):
                 "session_end": pd.to_datetime(out["last"], unit="ms"),
                 "n_events": out["n_events"].astype("int32"),
                 "total_value": out["total_value"].round(2),
+                "closed_by": out["closed_by"].astype(str),
             }
         )
 
