@@ -536,7 +536,16 @@ def _local_property_saturation(
     the last ~120 recall edges of the reference's golden output) — the
     same rule set as the distributed loop, validated against it by the
     fuzz tests and against the reference's golden output by
-    scripts/reference_parity_oracle.py."""
+    scripts/reference_parity_oracle.py.
+
+    NOTE on union semantics: this permissive common-link rule is a
+    sound OWL-EL entailment set but BROADER than Whelk's disjunction
+    elimination, which only sees subsumption into structurally
+    interned concepts. entail() therefore does NOT use it — it gets
+    Whelk-exact behavior from canonicalize_expressions +
+    union_eliminated_subclass instead. The rule remains for the
+    standalone property-closure operator, where completeness beats
+    reference mimicry."""
     import collections
     import itertools
 
@@ -929,6 +938,196 @@ def property_closure(
     raise RuntimeError(f"property_closure: no fixpoint in {max_rounds} rounds")
 
 
+# Constructs whose OWL-API expression Whelk's Bridge CANNOT convert —
+# the enclosing axiom is then skipped whole. owl:complementOf is NOT
+# here: Whelk has a Complement concept, so a ¬X conjunct converts fine
+# (it just derives nothing positive) and the sibling conjuncts still
+# fire — verified against golden (ENVO:00000258 keeps its
+# adjacent-to links through a ¬∃has_part filler conjunct, while
+# ENVO:01001457 loses BOTH conjuncts to a nested ∀).
+_NON_EL_PREDICATES = (
+    "owl:allValuesFrom",
+    "owl:hasValue",
+    "owl:maxCardinality",
+    "owl:minCardinality",
+    "owl:cardinality",
+    "owl:maxQualifiedCardinality",
+    "owl:minQualifiedCardinality",
+    "owl:qualifiedCardinality",
+)
+
+_EXPR_PREDICATES = (
+    "owl:onProperty",
+    "owl:someValuesFrom",
+    "owl:intersectionOf",
+    "owl:unionOf",
+    "rdf:first",
+    "rdf:rest",
+)
+
+
+def drop_non_el_axioms(statements: DataFrame) -> DataFrame:
+    """Whelk/EL semantics: an axiom whose class expression contains a
+    non-EL construct (universal restriction, complement, cardinality,
+    hasValue) is dropped WHOLE — the EL reasoner does not salvage the
+    EL-expressible conjuncts. Without this, ∃p.(C ⊓ ∀q.D) would
+    contribute its ∃p.C part and over-derive vs the reference
+    (measured: the last 14 extra edges on the reference corpus all
+    trace to one ∀-bearing intersection).
+
+    Implementation: taint every blank node carrying a non-EL row,
+    propagate taint UP the expression DAG (filler -> restriction,
+    member -> list cell -> set node) driver-side (the expression layer
+    is schema-scale), and drop every statement touching a tainted
+    node."""
+    rows = (
+        statements.where(
+            F.col("predicate").isin(*(_EXPR_PREDICATES + _NON_EL_PREDICATES))
+            & F.col("subject").startswith("_:")
+        )
+        .select("subject", "predicate", "object")
+        .collect()
+    )
+    parents: dict[str, set[str]] = {}
+    tainted: set[str] = set()
+    for r in rows:
+        s, p, o = r["subject"], r["predicate"], r["object"]
+        if p in _NON_EL_PREDICATES:
+            tainted.add(s)
+        elif o is not None and o.startswith("_:"):
+            parents.setdefault(o, set()).add(s)
+        if p in ("owl:intersectionOf", "owl:unionOf", "rdf:rest") and o is not None:
+            # list heads/cells: child cell -> parent set node / cell
+            parents.setdefault(o, set()).add(s)
+    # taint also flows from a tainted MEMBER up through its list cell:
+    # (cell rdf:first member) — member may be a tainted bnode; covered
+    # by the generic bnode-object rule above.
+    stack = list(tainted)
+    while stack:
+        cur = stack.pop()
+        for par in parents.get(cur, ()):
+            if par not in tainted:
+                tainted.add(par)
+                stack.append(par)
+    if not tainted:
+        return statements
+    t = F.broadcast(
+        statements.sparkSession.createDataFrame(
+            [(x,) for x in sorted(tainted)], ["id"]
+        )
+    )
+    return statements.join(
+        t.withColumnRenamed("id", "subject"), "subject", "left_anti"
+    ).join(
+        t.withColumnRenamed("id", "object"), "object", "left_anti"
+    ).select(statements.columns)
+
+
+def canonicalize_expressions(pruned: DataFrame) -> DataFrame:
+    """Structurally intern anonymous class expressions, Whelk-style:
+    blank nodes with identical structure become ONE node —
+    ∃p.C restrictions keyed by (onProperty, canonical filler),
+    intersections/unions keyed by their canonical member set. Without
+    this, two classes asserting the same ∃RO:0000057.ENVO:00000446
+    restriction sit below two DISTINCT atoms and a union of those
+    classes never discovers the shared super-concept that Whelk's
+    disjunction rule uses (the reference corpus derives ~120 golden
+    edges through exactly this sharing).
+
+    The expression layer of an ontology is schema-scale (thousands of
+    bnodes vs corpus-scale statements), so the canonical map is built
+    driver-side (bottom-up fixpoint over the expression DAG) and
+    broadcast back as a subject/object rewrite — the dictionary
+    pattern. List CELLS and property expressions (owl:inverseOf) keep
+    their identity; only class-expression heads merge."""
+    import hashlib
+
+    rows = (
+        pruned.where(
+            F.col("predicate").isin(
+                "owl:onProperty", "owl:someValuesFrom",
+                "owl:intersectionOf", "owl:unionOf",
+                "rdf:first", "rdf:rest",
+            )
+            & F.col("subject").startswith("_:")
+        )
+        .select("subject", "predicate", "object")
+        .collect()
+    )
+    on_prop: dict[str, list[str]] = {}
+    some_from: dict[str, list[str]] = {}
+    set_head: dict[str, list[tuple[str, str]]] = {}  # bn -> [(kind, head)]
+    firsts: dict[str, str] = {}
+    rests: dict[str, str] = {}
+    for r in rows:
+        s, p, o = r["subject"], r["predicate"], r["object"]
+        if p == "owl:onProperty":
+            on_prop.setdefault(s, []).append(o)
+        elif p == "owl:someValuesFrom":
+            some_from.setdefault(s, []).append(o)
+        elif p == "owl:intersectionOf":
+            set_head.setdefault(s, []).append(("I", o))
+        elif p == "owl:unionOf":
+            set_head.setdefault(s, []).append(("U", o))
+        elif p == "rdf:first":
+            firsts[s] = o
+        elif p == "rdf:rest":
+            rests[s] = o
+
+    def list_members(head: str) -> list[str]:
+        out, bn, hops = [], head, 0
+        while bn and bn != "rdf:nil" and bn in firsts and hops < 10_000:
+            out.append(firsts[bn])
+            bn = rests.get(bn)
+            hops += 1
+        return out
+
+    canon: dict[str, str] = {}
+
+    def cof(x: str | None) -> str:
+        return canon.get(x, x) if x is not None else ""
+
+    for _ in range(32):  # expression nesting depth bound
+        changed = False
+        for bn in set(on_prop) | set(some_from) | set(set_head):
+            if bn in set_head:
+                kind, _h = sorted(set_head[bn])[0]
+                members = sorted(
+                    {cof(m) for _k, h in set_head[bn] for m in list_members(h)}
+                )
+                sig = kind + "|" + "|".join(members)
+            else:
+                sig = (
+                    "R|" + "|".join(sorted(on_prop.get(bn, ())))
+                    + "~" + "|".join(sorted(cof(f) for f in some_from.get(bn, ())))
+                )
+            new = "_:x" + hashlib.md5(sig.encode()).hexdigest()[:20]
+            if canon.get(bn) != new:
+                canon[bn] = new
+                changed = True
+        if not changed:
+            break
+    remap = [(k, v) for k, v in canon.items() if k != v]
+    if not remap:
+        return pruned
+    m = F.broadcast(
+        pruned.sparkSession.createDataFrame(remap, ["old", "new"])
+    )
+    out = (
+        pruned.join(m.withColumnRenamed("old", "subject"), "subject", "left")
+        .withColumn("subject", F.coalesce(F.col("new"), F.col("subject")))
+        .drop("new")
+    )
+    out = (
+        out.join(
+            m.select(F.col("old").alias("object"), F.col("new")), "object", "left"
+        )
+        .withColumn("object", F.coalesce(F.col("new"), F.col("object")))
+        .drop("new")
+    )
+    return out.dropDuplicates()
+
+
 def restriction_nodes(pruned: DataFrame) -> DataFrame:
     """(a, prop, c) where `a` is the restriction blank node ITSELF —
     the ELK-style view in which every anonymous expression is a fresh
@@ -967,25 +1166,55 @@ def entail(
     restrictions) participate in the saturation as fresh nodes and are
     stripped from the output; owl:Thing rows are suppressed like
     owl:Nothing (trivially-true edges)."""
-    pruned = prune_for_closure(statements)
+    pruned = canonicalize_expressions(
+        prune_for_closure(drop_non_el_axioms(statements))
+    )
+    # property-level schema first: the domain rule below needs the
+    # subPropertyOf hierarchy (dictionary-scale driver work)
+    hierarchy, transitive, chains = property_schema(pruned)
     # subclass edges over ALL nodes (expression bnodes included) +
     # the EL normalization edges of anonymous expressions
     sub_all = pruned.where(
         (F.col("predicate") == "rdfs:subClassOf") & F.col("object").isNotNull()
     ).select(F.col("subject").alias("s"), F.col("object").alias("o"))
     expr_edges, union_membership = expression_edges(pruned)
-    # rdfs:domain rule (Whelk applies it; closes e.g. golden edges whose
-    # nested-restriction fillers ascend to the property's domain):
-    # every restriction node ∃p.C is a subclass of domain(p) — the
-    # domain table is schema-scale, broadcast
-    domains = pruned.where(F.col("predicate") == "rdfs:domain").select(
+    # rdfs:domain rule THROUGH THE PROPERTY HIERARCHY (Whelk semantics:
+    # (x,p,y) entails (x,q,y) for every super-property q, so domain(q)
+    # applies too): every restriction node ∃p.C is a subclass of
+    # domain(q) for q ∈ supers*(p). Because any x with a p-link sits
+    # below SOME ∃p.C restriction node in the subclass closure, this
+    # static edge set also delivers the link-level domain rule — e.g.
+    # the reference corpus's rdfs:domain of RO:0002170 is itself an
+    # anonymous ∃BFO:0000050.RO:0002577 restriction, whose links every
+    # connected-to holder inherits (18 of the last 22 golden edges);
+    # the other 4 come from a nested filler ascending to the domain of
+    # a SUPER-property of its onProperty. Both tables are schema-scale
+    # (collected + broadcast back, the dictionary pattern).
+    dom_rows = pruned.where(F.col("predicate") == "rdfs:domain").select(
         F.col("subject").alias("prop"), F.col("object").alias("dom")
-    )
-    domain_edges = (
-        restriction_nodes(pruned)
-        .join(F.broadcast(domains), "prop")
-        .select(F.col("a").alias("s"), F.col("dom").alias("o"))
-    )
+    ).collect()
+    doms_of: dict[str, list[str]] = {}
+    for row in dom_rows:
+        doms_of.setdefault(row["prop"], []).append(row["dom"])
+    restr = restriction_nodes(pruned).localCheckpoint(eager=False)
+    restr_props = {row["prop"] for row in restr.select("prop").distinct().collect()}
+    dom_exp = sorted({
+        (p, d)
+        for p in restr_props
+        for q in (hierarchy.get(p, set()) | {p})
+        for d in doms_of.get(q, ())
+    })
+    if dom_exp:
+        dom_exp_df = F.broadcast(
+            pruned.sparkSession.createDataFrame(dom_exp, ["prop", "dom"])
+        )
+        domain_edges = restr.join(dom_exp_df, "prop").select(
+            F.col("a").alias("s"), F.col("dom").alias("o")
+        )
+    else:
+        domain_edges = restr.limit(0).select(
+            F.col("a").alias("s"), F.col("c").alias("o")
+        )
     sub = (
         sub_all.unionByName(expr_edges)
         .unionByName(domain_edges)
@@ -995,7 +1224,6 @@ def entail(
     if union_membership.limit(1).count() > 0:
         sub = union_eliminated_subclass(sub, union_membership)
     tc = transitive_closure(sub)  # strict
-    restr = restriction_nodes(pruned)
     # reflexive rows: named classes (the --reflexive-subclasses output)
     # plus restriction nodes and fillers — the compose below needs
     # (bn ⊑ bn) / (c ⊑ c) so direct links and bn-filler hops both emit
@@ -1040,17 +1268,19 @@ def entail(
         .select(F.col("x").alias("s"), F.col("prop").alias("p"), F.col("d").alias("o"))
     )
     # property-level entailment (relation-graph semantics: transitive
-    # object properties, subPropertyOf, property chains, and the union
-    # link rule — the rules that dominate the reference's golden
-    # entailed_edge table). union_membership is schema-scale (one row
-    # per unionOf member axiom), so collecting it to the driver is the
-    # same dictionary pattern as property_schema.
-    hierarchy, transitive, chains = property_schema(pruned)
-    union_members: dict[str, list[str]] = {}
-    for row in union_membership.collect():
-        union_members.setdefault(row["bn"], []).append(row["member"])
+    # object properties, subPropertyOf, property chains — the rules
+    # that dominate the reference's golden entailed_edge table).
+    # NOTE: no union LINK rule here. Whelk's disjunction elimination
+    # works on the subsumption lattice over structurally-interned
+    # concepts — which canonicalize_expressions +
+    # union_eliminated_subclass reproduce exactly: a union node sits
+    # below ∃p.C iff every member reaches the SAME canonical
+    # restriction node, and base_prop then links it. A "common derived
+    # links" rule (round 3) is sound OWL-EL but over-derives 66 edges
+    # vs relation-graph's golden output; with interning it is also
+    # redundant for recall (verified: recall 1.0 without it).
     prop_out = property_closure(
-        base_prop, hierarchy, transitive, chains, union_members,
+        base_prop, hierarchy, transitive, chains,
         local_threshold=property_local_threshold,
     ).select(
         F.col("s").alias("subject"),
