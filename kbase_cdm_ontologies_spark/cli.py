@@ -137,7 +137,18 @@ def main(argv: list[str] | None = None) -> int:
             for r in report
             for kind in ("tsv_tables", "parquet_files")
         ]
-        return all(_os.path.exists(p) and _os.listdir(p) for p in side)
+        def _has_data(p: str) -> bool:
+            # a sink replaced out-of-band by a regular file is stale
+            # (and os.listdir would raise); a directory holding only
+            # _SUCCESS/.crc markers is hollow — require a real data
+            # file, mirroring _table_content_sha's filter
+            if not _os.path.isdir(p):
+                return False
+            return any(
+                not f.startswith(("_", ".")) for f in _os.listdir(p)
+            )
+
+        return all(_has_data(p) for p in side)
 
     if not ck.stages_run and _os.path.exists(export_report_path):
         with open(export_report_path) as f:

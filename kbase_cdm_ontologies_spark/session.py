@@ -51,8 +51,16 @@ def get_spark(
         # on lazily-checkpointed children and pay an optimizer cost that
         # grows with union depth; disabling constraint propagation is
         # the standard setting for iterative Spark graph algorithms
-        # (it only disables inferred IsNotNull/redundant-filter rules)
-        .config("spark.sql.constraintPropagation.enabled", "false")
+        # (it only disables inferred IsNotNull/redundant-filter rules).
+        # Scan-side cost measured ~nil: the 27-query sf0.1 headline
+        # total is inside the host-noise band with the flag on vs off
+        # (BENCH.md §3d), so it stays off engine-wide rather than
+        # scoped per-operator. SPARK_GRAFT_CONSTRAINT_PROP=true
+        # overrides for A/B measurement.
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
