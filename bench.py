@@ -307,6 +307,61 @@ def run_graph_scale(master: str | None) -> dict:
     return out
 
 
+def run_dense_scale(master: str | None, n_groups: int = 150_000, chain: int = 10) -> dict:
+    """Dense-graph proof for the FORCED-DISTRIBUTED property fixpoint —
+    the regime the >2M-link local_threshold routes to, at
+    golden-corpus density (deep transitive chains + subproperty lift +
+    a chain axiom whose target is transitive, which forces the outer
+    fixpoint loop exactly like the reference's located_in/part_of
+    interplay). All inputs derive from spark.range.
+
+    Shape: n_groups part_of-chains of `chain` nodes (closure grows
+    quadratically in chain length), each chain foot anchored to a site
+    node via located_in; part_of o located_in -> located_in composes
+    the chains onto the sites, and part_of ⊑ overlaps lifts the whole
+    closure once more."""
+    from pyspark.sql import functions as F
+
+    from kbase_cdm_ontologies_spark.operators.closure import property_closure
+    from kbase_cdm_ontologies_spark.session import get_spark
+
+    spark = get_spark(app_name="dense-scale", master=master)
+    n = n_groups * chain
+    ids = spark.range(n)
+    part_of = (
+        ids.where((F.col("id") % chain) != (chain - 1))
+        .select(
+            F.lit("part_of").alias("p"),
+            F.concat(F.lit("N"), F.col("id")).alias("s"),
+            F.concat(F.lit("N"), F.col("id") + 1).alias("o"),
+        )
+    )
+    # chain foot -> site
+    feet = ids.where((F.col("id") % chain) == (chain - 1))
+    located = feet.select(
+        F.lit("located_in").alias("p"),
+        F.concat(F.lit("N"), F.col("id")).alias("s"),
+        F.concat(F.lit("S"), (F.col("id") / chain).cast("long")).alias("o"),
+    )
+    base = part_of.unionByName(located).select("s", "p", "o")
+    hierarchy = {"part_of": {"overlaps"}, "located_in": set(), "overlaps": set()}
+    transitive = {"part_of", "located_in"}
+    chains = [("part_of", "located_in", "located_in")]
+    t0 = time.time()
+    out_df = property_closure(
+        base, hierarchy, transitive, chains, None, local_threshold=0
+    )
+    n_out = out_df.count()
+    sec = round(time.time() - t0, 2)
+    return {
+        "base_links": int(base.count()),
+        "closure_links": int(n_out),
+        "sec": sec,
+        "links_per_sec": round(n_out / sec),
+        "regime": "forced-distributed property fixpoint (local_threshold=0)",
+    }
+
+
 def run_entail_scale(master: str | None, n_classes: int = 204_800) -> dict:
     """Full OWL EL entailment (subclass TC + property closure +
     reflexive rows) at ontology-federation scale — classes, restriction
@@ -383,6 +438,7 @@ def main() -> int:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--graph-scale", action="store_true")
     ap.add_argument("--entail-scale", action="store_true")
+    ap.add_argument("--dense-scale", action="store_true")
     ap.add_argument("--pages", type=int, default=int(os.environ.get("BENCH_PAGES", "5000")))
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -398,6 +454,9 @@ def main() -> int:
         return 0
     if args.entail_scale:
         print(json.dumps(run_entail_scale(args.master)))
+        return 0
+    if args.dense_scale:
+        print(json.dumps(run_dense_scale(args.master)))
         return 0
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.stats_cut import cut as _statscut
+
 
 def _round(e: DataFrame) -> DataFrame:
     """One large-star + small-star round over an ORIENTED (u > v),
@@ -90,7 +92,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
-    local_threshold: int = 500_000,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """pairs(src, dst) undirected -> (id, canonical) for every node
     appearing in pairs; canonical = min id of the component.
@@ -107,18 +109,25 @@ def connected_components(
 
     max_rounds=30 bounds the loop (log2 of any practical component
     count); a non-converged exit raises — the divergence alarm the
-    build plan calls for (SURVEY.md §7.4)."""
-    nodes = (
+    build plan calls for (SURVEY.md §7.4).
+
+    local_threshold=None reads
+    spark.graft.connectedComponents.localThreshold (default 500k) —
+    the shared config namespace for every hybrid-regime row guard."""
+    if local_threshold is None:
+        conf = pairs.sparkSession.conf.get(
+            "spark.graft.connectedComponents.localThreshold", None
+        )
+        local_threshold = int(conf) if conf else 500_000
+    nodes = _statscut(
         pairs.select(F.col(src).alias("u"))
         .unionByName(pairs.select(F.col(dst).alias("u")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    e = (
+    e = _statscut(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .dropDuplicates()
-        .localCheckpoint(eager=False)
     )
 
     def _sig(df: DataFrame) -> tuple[int, int]:
@@ -143,7 +152,7 @@ def connected_components(
         if sig_prev[0] <= local_threshold:
             local = True
             break
-        e2 = _round(e).localCheckpoint(eager=False)
+        e2 = _statscut(_round(e))
         sig_new = _sig(e2)
         # (count, hash) equality is the cheap per-round test; only a
         # matching signature pays for the definitive set-equality check

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.stats_cut import cut as _statscut
+
 LOGIC_PREDICATES = (
     "rdfs:subClassOf",
     "owl:equivalentClass",
@@ -158,20 +160,27 @@ def _seminaive_closure(
             F.col("b.o").alias("o"),
         )
 
+    import os as _os
+    import time as _time
+
+    debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
     news: list[DataFrame] = []
     owned: list[DataFrame] = []  # checkpoints created here — bounded cache
-    for _ in range(max_rounds):
+    for rnd_i in range(max_rounds):
+        t0 = _time.time()
         hop = hop_join(delta, c)
         if both_sides:
             hop = hop.unionByName(hop_join(c, delta))
         if not keep_self:
             hop = hop.where(F.col("s") != F.col("o"))
-        delta = (
-            hop.dropDuplicates()
-            .join(c, cols, "left_anti")
-            .localCheckpoint(eager=False)
+        delta = _statscut(
+            hop.dropDuplicates().join(c, cols, "left_anti")
         )
-        if delta.count() == 0:
+        n_delta = delta.count()
+        if debug:
+            print(f"[sn] {op} inner {rnd_i} delta={n_delta} "
+                  f"{_time.time() - t0:.1f}s", flush=True)
+        if n_delta == 0:
             out_new = None
             if return_new:
                 out_new = news[0] if news else c.limit(0)
@@ -191,10 +200,10 @@ def _seminaive_closure(
             # materialize a block-manager duplicate of the accumulated
             # keyed closure every outer round just to be garbage.
             if out_new is not None:
-                out_new = out_new.localCheckpoint(eager=True)
+                out_new = _statscut(out_new, eager=True)
             out_c = None
             if consolidate != "new":
-                out_c = c.localCheckpoint(eager=True)
+                out_c = _statscut(c, eager=True)
             for f in owned:
                 try:
                     f.unpersist()
@@ -202,10 +211,19 @@ def _seminaive_closure(
                     pass
             return (out_c, out_new) if return_new else out_c
         # disjoint by construction (anti-join) — no dedup needed here
-        c = c.unionByName(delta).localCheckpoint(eager=False)
+        c = _statscut(c.unionByName(delta))
         owned += [delta, c]
         news.append(delta)
     raise RuntimeError(f"{op}: no fixpoint in {max_rounds} frontier rounds")
+
+
+def _conf_threshold(df: DataFrame, key: str, default: int) -> int:
+    """Hybrid-regime row guards live in one config namespace
+    (spark.graft.<operator>.localThreshold) so cluster operators can
+    retune every driver-vs-distributed cutoff without code changes —
+    same pattern as spark.graft.propertyClosure.driverMaxBytes."""
+    conf = df.sparkSession.conf.get(key, None)
+    return int(conf) if conf else default
 
 
 def transitive_closure(
@@ -213,7 +231,7 @@ def transitive_closure(
     src: str = "s",
     dst: str = "o",
     max_rounds: int = 20,
-    local_threshold: int = 20_000,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """All (s, o) pairs with a directed path s ->+ o (non-reflexive).
     Semi-naive frontier doubling: max_rounds=20 covers diameter 2^20.
@@ -222,12 +240,16 @@ def transitive_closure(
     local_threshold are closed with one driver-side BFS (guarded by a
     pair cap — a dense closure falls back to the distributed loop);
     larger inputs run the semi-naive frontier rounds. local_threshold=0
-    forces the distributed loop."""
-    c = (
+    forces the distributed loop; None reads
+    spark.graft.transitiveClosure.localThreshold (default 20k)."""
+    if local_threshold is None:
+        local_threshold = _conf_threshold(
+            edges, "spark.graft.transitiveClosure.localThreshold", 20_000
+        )
+    c = _statscut(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("o"))
         .where(F.col("s") != F.col("o"))
         .dropDuplicates()
-        .localCheckpoint(eager=False)
     )
     if local_threshold and c.count() <= local_threshold:
         closed = _local_closure([("_", r["s"], r["o"]) for r in c.collect()], 5_000_000)
@@ -328,7 +350,7 @@ def union_eliminated_subclass(
             .where(F.col("n") == F.col("k"))
             .select(F.col("bn").alias("s"), F.col("c").alias("o"))
         )
-        sub = sub.unionByName(derived).dropDuplicates().localCheckpoint(eager=False)
+        sub = _statscut(sub.unionByName(derived).dropDuplicates())
         n_new = sub.count()
         if n_new == n_prev:
             return sub
@@ -336,14 +358,13 @@ def union_eliminated_subclass(
         # extend the closure incrementally with the genuinely-new
         # edges (semi-naive frontier, both split sides) instead of
         # re-running a full transitive closure per outer round
-        delta = (
+        delta = _statscut(
             derived.where(F.col("s") != F.col("o"))
             .dropDuplicates()
             .join(tc, ["s", "o"], "left_anti")
-            .localCheckpoint(eager=False)
         )
         tc = _seminaive_closure(
-            tc.unionByName(delta).localCheckpoint(eager=False),
+            _statscut(tc.unionByName(delta)),
             delta,
             keyed=False,
             keep_self=False,
@@ -377,7 +398,7 @@ def keyed_transitive_closure(
     src: str = "s",
     dst: str = "o",
     max_rounds: int = 20,
-    local_threshold: int = 20_000,
+    local_threshold: int | None = None,
     keep_self: bool = False,
 ) -> DataFrame:
     """Per-key path-doubling transitive closure: within every key group
@@ -391,13 +412,16 @@ def keyed_transitive_closure(
     keep_self=True keeps (s, s) paths (cycles / asserted self-edges) —
     required for property-edge semantics where x ⊑ ∃p.x is a real
     entailment; False gives the strict closure used for subclass."""
+    if local_threshold is None:
+        local_threshold = _conf_threshold(
+            edges, "spark.graft.keyedTransitiveClosure.localThreshold", 20_000
+        )
     strip = (lambda df: df) if keep_self else (
         lambda df: df.where(F.col("s") != F.col("o"))
     )
-    c = (
+    c = _statscut(
         strip(edges.select(F.col(key).alias("p"), F.col(src).alias("s"), F.col(dst).alias("o")))
         .dropDuplicates()
-        .localCheckpoint(eager=False)
     )
     if local_threshold:
         if c.count() <= local_threshold:
@@ -461,8 +485,8 @@ def property_schema(pruned: DataFrame) -> tuple[dict[str, set[str]], set[str], l
         rest_df = (
             pruned.where(F.col("predicate") == "rdf:rest")
             .select(F.col("subject").alias("s"), F.col("object").alias("o"))
-            .localCheckpoint(eager=False)
         )
+        rest_df = _statscut(rest_df)
         spine = spark.createDataFrame([(c,) for c in head_cells], ["cell"])
         frontier = spine
         for _ in range(64):  # chain lists are a handful of cells long
@@ -472,8 +496,8 @@ def property_schema(pruned: DataFrame) -> tuple[dict[str, set[str]], set[str], l
                 )
                 .select(F.col("o").alias("cell"))
                 .dropDuplicates()
-                .localCheckpoint(eager=False)
             )
+            frontier = _statscut(frontier)
             if frontier.count() == 0:
                 break
             spine = spine.unionByName(frontier)
@@ -723,7 +747,7 @@ def property_closure(
     chains: list[tuple[str, str, str]],
     union_members: dict[str, list[str]] | None = None,
     max_rounds: int = 10,
-    local_threshold: int = 2_000_000,
+    local_threshold: int | None = None,
     driver_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Saturate (s, p, o) existential edges under the EL property rules:
@@ -752,16 +776,29 @@ def property_closure(
     runs driver-side with the identical rule set. local_threshold=0
     forces the distributed loop."""
     spark = base_edges.sparkSession
+    if local_threshold is None:
+        local_threshold = _conf_threshold(
+            base_edges, "spark.graft.propertyClosure.localThreshold", 2_000_000
+        )
     hier_rows = [
         (p, q) for p, qs in hierarchy.items() for q in qs if q != p
     ]
     # self-edges are KEPT throughout: x ⊑ ∃p.x is a legitimate
     # entailment (e.g. a ⊑ ∃p.c with c ⊑ a), unlike the strict
     # subclass closure where reflexive rows are added separately
-    r = base_edges.select("s", "p", "o").dropDuplicates()
+    # EAGER checkpoint: base_edges is typically an expensive upstream
+    # plan (entail's rtc ⋈ restr ⋈ rtc compose is ~93M rows pre-dedup
+    # on the reference corpus). A lazy checkpoint materializes
+    # partition-by-partition as jobs touch it, and partitions first
+    # touched by a LATER job recompute the whole upstream join —
+    # measured: the fixpoint's inner rounds grew 3 s -> 130 s on
+    # shrinking deltas until the base was cut eagerly (66 s total from
+    # a clean-lineage input vs 620+ s from the live join plan).
+    r = _statscut(
+        base_edges.select("s", "p", "o").dropDuplicates(), eager=True
+    )
     needs_fixpoint = bool(transitive or chains or union_members)
     if local_threshold and needs_fixpoint:
-        r = r.localCheckpoint(eager=False)
         if r.count() <= local_threshold:
             # bytes-aware driver guard: the row threshold alone could
             # admit multi-GB string payloads on a small-driver cluster
@@ -775,7 +812,9 @@ def property_closure(
                     {(row["s"], row["p"], row["o"]) for row in r.collect()},
                     hierarchy, transitive, chains, union_members,
                 )
-                return _arrow_df(spark, sorted(closed), r.schema)
+                # no sort: downstream consumers are set-semantic and the
+                # driver-side sort of a ~2M-tuple list is pure wall time
+                return _arrow_df(spark, list(closed), r.schema)
 
     def expand_hierarchy(df: DataFrame) -> DataFrame:
         if not hier_rows:
@@ -784,7 +823,7 @@ def property_closure(
         up = df.join(h, "p").select("s", F.col("q").alias("p"), "o")
         return df.unionByName(up).dropDuplicates()
 
-    r = expand_hierarchy(r).localCheckpoint(eager=False)
+    r = _statscut(expand_hierarchy(r), eager=not local_threshold)
     if not needs_fixpoint:
         return r
     chain_df = (
@@ -849,14 +888,26 @@ def property_closure(
             .select(F.col("bn").alias("s"), "p", "o")
         )
 
-    def close_transitive_delta(full: DataFrame, d: DataFrame, scratch: bool) -> DataFrame:
+    def close_transitive_delta(
+        full: DataFrame, d: DataFrame, scratch: bool,
+        exclude: DataFrame | None = None,
+    ) -> DataFrame:
         # incremental keyed TC: full's transitive subset is closed from
         # prior rounds except for derivations involving d's edges.
         # Returns ONLY the newly-derived pairs — the closure itself
         # lives in `r`; hauling it back through the outer loop's
-        # dedup/expand/anti would shuffle closure-sized frames per round
-        c_t = full.where(F.col("p").isin(*transitive)).localCheckpoint(eager=False)
-        d_t = d.where(F.col("p").isin(*transitive)).localCheckpoint(eager=False)
+        # dedup/expand/anti would shuffle closure-sized frames per round.
+        # `exclude`: pairs this closure ITSELF emitted last round — the
+        # relation is already closed w.r.t. them, so feeding them back
+        # as frontier only re-derives known ancestors (measured on the
+        # reference corpus: 553 s composing a 179k-row delta against
+        # the closed relation to discover 1,792 genuinely-new pairs,
+        # all of which come from the NON-closure rows of the delta).
+        c_t = _statscut(full.where(F.col("p").isin(*transitive)))
+        d_t = d.where(F.col("p").isin(*transitive))
+        if exclude is not None:
+            d_t = d_t.join(exclude, ["s", "p", "o"], "left_anti")
+        d_t = _statscut(d_t)
         _c, new = _seminaive_closure(
             c_t, d_t, keyed=True, keep_self=True, max_rounds=20,
             both_sides=not scratch, op="property_closure.trans",
@@ -889,7 +940,7 @@ def property_closure(
             # checkpoint before composing: the chain join reads this
             # frame on BOTH sides — without it the whole upstream plan
             # (scan + expands + TC) executes twice in one job
-            new = expand_hierarchy(new.dropDuplicates()).localCheckpoint(eager=False)
+            new = _statscut(expand_hierarchy(new.dropDuplicates()))
             new = new.unionByName(compose_chains_delta(new, new, scratch=True))
         out = expand_hierarchy(new.dropDuplicates())
         return out.where(~F.col("p").startswith("_:step_"))
@@ -901,11 +952,15 @@ def property_closure(
     delta = r  # round 1 runs from scratch: the whole set is the frontier
     scratch = True
     owned: list[DataFrame] = []  # superseded checkpoints — bounded cache
+    prev_trans_new: DataFrame | None = None
     for rnd in range(max_rounds):
         t0 = _time.time()
         parts: list[DataFrame] = []
         if transitive:
-            parts.append(close_transitive_delta(r, delta, scratch))
+            parts.append(
+                close_transitive_delta(r, delta, scratch, exclude=prev_trans_new)
+            )
+            prev_trans_new = parts[0]
             if debug:
                 print(f"[pc] round {rnd} trans {_time.time() - t0:.1f}s "
                       f"new={parts[-1].count()}", flush=True)
@@ -924,10 +979,9 @@ def property_closure(
             new = new.unionByName(extra)
         t1 = _time.time()
         prev_delta = delta if rnd > 0 else None
-        delta = (
+        delta = _statscut(
             expand_hierarchy(new.dropDuplicates())
             .join(r, ["s", "p", "o"], "left_anti")
-            .localCheckpoint(eager=False)
         )
         n_delta = delta.count()
         if debug:
@@ -940,7 +994,7 @@ def property_closure(
             # degrades every later round)
             out = r.where(~F.col("p").startswith("_:step_"))
             if owned:
-                out = out.localCheckpoint(eager=True)
+                out = _statscut(out, eager=True)
                 for f in owned:
                     try:
                         f.unpersist()
@@ -948,7 +1002,7 @@ def property_closure(
                         pass
             return out
         prev_r = r if rnd > 0 else None
-        r = r.unionByName(delta).localCheckpoint(eager=True)
+        r = _statscut(r.unionByName(delta), eager=True)
         for f in (prev_delta, prev_r):
             if f is not None:
                 try:
@@ -1218,7 +1272,7 @@ def entail(
     doms_of: dict[str, list[str]] = {}
     for row in dom_rows:
         doms_of.setdefault(row["prop"], []).append(row["dom"])
-    restr = restriction_nodes(pruned).localCheckpoint(eager=False)
+    restr = _statscut(restriction_nodes(pruned))
     restr_props = {row["prop"] for row in restr.select("prop").distinct().collect()}
     dom_exp = sorted({
         (p, d)
@@ -1241,8 +1295,8 @@ def entail(
         sub_all.unionByName(expr_edges)
         .unionByName(domain_edges)
         .dropDuplicates()
-        .localCheckpoint(eager=False)
     )
+    sub = _statscut(sub)
     if union_membership.limit(1).count() > 0:
         sub = union_eliminated_subclass(sub, union_membership)
     tc = transitive_closure(sub)  # strict
@@ -1256,7 +1310,7 @@ def entail(
         .distinct()
         .select(F.col("n").alias("s"), F.col("n").alias("o"))
     )
-    rtc = tc.unionByName(refl).dropDuplicates().localCheckpoint()
+    rtc = _statscut(tc.unionByName(refl).dropDuplicates(), eager=True)
 
     named = ~F.col("s").startswith("_:") & ~F.col("o").startswith("_:")
     sub_out = (
