@@ -307,7 +307,7 @@ def run_graph_scale(master: str | None) -> dict:
     return out
 
 
-def run_dense_scale(master: str | None, n_groups: int = 150_000, chain: int = 10) -> dict:
+def run_dense_scale(master: str | None, n_groups: int = 250_000, chain: int = 10) -> dict:
     """Dense-graph proof for the FORCED-DISTRIBUTED property fixpoint —
     the regime the >2M-link local_threshold routes to, at
     golden-corpus density (deep transitive chains + subproperty lift +
