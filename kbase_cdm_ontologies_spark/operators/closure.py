@@ -1334,9 +1334,17 @@ def entail(
     # ascent by construction, which is exactly the invariant the
     # property rules below need (composition of two closed edges is
     # closed, so no re-propagation pass after saturation)
+    # dedupe EARLY, between the two rtc joins: many x reach the same
+    # restriction through many ancestors a, so distinct (x, p, c) is
+    # far smaller than the raw compose — on the reference corpus the
+    # full two-join output is ~93M rows pre-dedup for 429k distinct
+    # links, and cutting the duplicates before the second join shrinks
+    # both that join's probe side and the final dedup shuffle
     base_prop = (
         rtc.select(F.col("s").alias("x"), F.col("o").alias("a"))
         .join(F.broadcast(restr), "a")
+        .select("x", F.col("prop"), F.col("c"))
+        .dropDuplicates()
         .join(
             rtc.select(F.col("s").alias("c"), F.col("o").alias("d")),
             "c",

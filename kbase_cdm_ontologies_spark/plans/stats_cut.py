@@ -33,6 +33,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# capability probe result: None = untested, True/False after first call.
+# The rebuild uses the classic-mode JVM handle (`_jdf`) and the
+# package-private-in-Scala (public-in-bytecode) internalCreateDataFrame
+# — absent under Spark Connect and conceivably renamed in a future
+# Spark. Probe once, and on failure degrade to the plain checkpoint
+# everywhere instead of retrying (and re-raising) per round.
+_CAPABLE: bool | None = None
+
 
 def cut(df: DataFrame, eager: bool = False) -> DataFrame:
     """localCheckpoint + stats reset (see module docstring).
@@ -41,16 +49,24 @@ def cut(df: DataFrame, eager: bool = False) -> DataFrame:
     materializes with the first action that touches the frame (in the
     closure loops, the per-round frontier count).
 
-    Falls back to the plain checkpoint when the JVM handle is not
-    reachable (Spark Connect), where the estimator pathology cannot be
-    fixed from the client side anyway."""
+    Falls back to the plain checkpoint when the JVM rebuild path is
+    unavailable (Spark Connect / future API drift), where the estimator
+    pathology cannot be fixed from the client side anyway."""
+    global _CAPABLE
     ck = df.localCheckpoint(eager=eager)
+    if _CAPABLE is False:
+        return ck
     try:
         jdf = ck._jdf
         spark = ck.sparkSession
         fresh = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-        return DataFrame(fresh, spark)
-    except AttributeError:  # Spark Connect: no _jdf
+        out = DataFrame(fresh, spark)
+        _CAPABLE = True
+        return out
+    except Exception:
+        if _CAPABLE:  # worked before — this failure is real, surface it
+            raise
+        _CAPABLE = False
         return ck

@@ -69,11 +69,12 @@ def test_query_matches_oracle(spark, ddb, name):
     )
 
 
-@pytest.mark.parametrize("name", [n for n in ALL if n not in ORACLED])
-def test_rows_only_queries_run(spark, name):
-    df = entry_mod.queries()[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_every_query_is_oracled():
+    # since round 4 there are NO rows-only entries: all 50 queries —
+    # streaming, multimodal decode, and sketch stats included — carry a
+    # DuckDB oracle. A new query without one should be a deliberate,
+    # visible decision, not a silent gap.
+    assert ALL == ORACLED
 
 
 def test_entry_smoke(spark):
