@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import conf_threshold as _conf_threshold
 from ..plans.stats_cut import cut as _statscut
 
 
@@ -115,10 +116,9 @@ def connected_components(
     spark.graft.connectedComponents.localThreshold (default 500k) —
     the shared config namespace for every hybrid-regime row guard."""
     if local_threshold is None:
-        conf = pairs.sparkSession.conf.get(
-            "spark.graft.connectedComponents.localThreshold", None
+        local_threshold = _conf_threshold(
+            pairs, "spark.graft.connectedComponents.localThreshold", 500_000
         )
-        local_threshold = int(conf) if conf else 500_000
     nodes = _statscut(
         pairs.select(F.col(src).alias("u"))
         .unionByName(pairs.select(F.col(dst).alias("u")))

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..config import conf_threshold as _conf_threshold
 from ..plans.stats_cut import cut as _statscut
 
 LOGIC_PREDICATES = (
@@ -215,15 +216,6 @@ def _seminaive_closure(
         owned += [delta, c]
         news.append(delta)
     raise RuntimeError(f"{op}: no fixpoint in {max_rounds} frontier rounds")
-
-
-def _conf_threshold(df: DataFrame, key: str, default: int) -> int:
-    """Hybrid-regime row guards live in one config namespace
-    (spark.graft.<operator>.localThreshold) so cluster operators can
-    retune every driver-vs-distributed cutoff without code changes —
-    same pattern as spark.graft.propertyClosure.driverMaxBytes."""
-    conf = df.sparkSession.conf.get(key, None)
-    return int(conf) if conf else default
 
 
 def transitive_closure(
@@ -812,9 +804,12 @@ def property_closure(
                     {(row["s"], row["p"], row["o"]) for row in r.collect()},
                     hierarchy, transitive, chains, union_members,
                 )
-                # no sort: downstream consumers are set-semantic and the
-                # driver-side sort of a ~2M-tuple list is pure wall time
-                return _arrow_df(spark, list(closed), r.schema)
+                # sorted: set-iteration order varies with string
+                # hashing across processes, and byte-identical re-runs
+                # (export content hashes, parquet diffs) are a stated
+                # engine property; the sort costs <1 s at the 2M-row
+                # driver-path ceiling
+                return _arrow_df(spark, sorted(closed), r.schema)
 
     def expand_hierarchy(df: DataFrame) -> DataFrame:
         if not hier_rows:
@@ -1183,6 +1178,16 @@ def canonicalize_expressions(pruned: DataFrame) -> DataFrame:
                 changed = True
         if not changed:
             break
+    else:
+        # a DAG deeper than 32 levels (or a cyclic bnode structure in
+        # malformed RDF) would leave parent signatures computed from
+        # stale child ids — under-merged interning silently loses
+        # entailed edges, so fail loudly like property_schema's spine
+        # walk does
+        raise RuntimeError(
+            "canonicalize_expressions: interning did not converge in 32 "
+            "rounds (expression DAG deeper than 32 levels or cyclic)"
+        )
     remap = [(k, v) for k, v in canon.items() if k != v]
     if not remap:
         return pruned
@@ -1223,7 +1228,7 @@ def restriction_nodes(pruned: DataFrame) -> DataFrame:
 def entail(
     statements: DataFrame,
     class_nodes: DataFrame,
-    property_local_threshold: int = 2_000_000,
+    property_local_threshold: int | None = None,
 ) -> DataFrame:
     """Full entailment over (already canonicalized) statements ->
     edges(subject, predicate, object) — the engine's re-expression of

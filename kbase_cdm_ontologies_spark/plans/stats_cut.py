@@ -33,13 +33,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# capability probe result: None = untested, True/False after first call.
+# capability probe result: None = untested, True/False after the probe.
 # The rebuild uses the classic-mode JVM handle (`_jdf`) and the
 # package-private-in-Scala (public-in-bytecode) internalCreateDataFrame
 # — absent under Spark Connect and conceivably renamed in a future
-# Spark. Probe once, and on failure degrade to the plain checkpoint
-# everywhere instead of retrying (and re-raising) per round.
+# Spark. The API's availability is probed ONCE against a trivial
+# literal frame, so a frame-specific error in a real plan is never
+# mistaken for a missing API (which would silently disable the stats
+# reset engine-wide and reintroduce the BigInteger blow-up).
 _CAPABLE: bool | None = None
+
+
+def _rebuild(ck: DataFrame) -> DataFrame:
+    jdf = ck._jdf
+    spark = ck.sparkSession
+    fresh = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(fresh, spark)
+
+
+def _probe(spark) -> bool:
+    global _CAPABLE
+    if _CAPABLE is None:
+        try:
+            probe = spark.range(1).localCheckpoint(eager=False)
+            _rebuild(probe).schema  # force the JVM round-trip
+            _CAPABLE = True
+        except Exception:
+            import warnings
+
+            _CAPABLE = False
+            warnings.warn(
+                "stats_cut: JVM DataFrame rebuild unavailable "
+                "(Spark Connect or API drift) — iterative closures fall "
+                "back to plain localCheckpoint; deep fixpoints may hit "
+                "the Catalyst size-estimate blow-up documented in "
+                "plans/stats_cut.py",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    return _CAPABLE
 
 
 def cut(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -49,24 +83,12 @@ def cut(df: DataFrame, eager: bool = False) -> DataFrame:
     materializes with the first action that touches the frame (in the
     closure loops, the per-round frontier count).
 
-    Falls back to the plain checkpoint when the JVM rebuild path is
-    unavailable (Spark Connect / future API drift), where the estimator
-    pathology cannot be fixed from the client side anyway."""
-    global _CAPABLE
+    Falls back (with a RuntimeWarning, once per process) to the plain
+    checkpoint when the JVM rebuild path is unavailable, where the
+    estimator pathology cannot be fixed from the client side anyway.
+    Errors raised for a specific frame on a capable runtime propagate —
+    they are real plan failures, not capability misses."""
     ck = df.localCheckpoint(eager=eager)
-    if _CAPABLE is False:
+    if not _probe(df.sparkSession):
         return ck
-    try:
-        jdf = ck._jdf
-        spark = ck.sparkSession
-        fresh = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        out = DataFrame(fresh, spark)
-        _CAPABLE = True
-        return out
-    except Exception:
-        if _CAPABLE:  # worked before — this failure is real, surface it
-            raise
-        _CAPABLE = False
-        return ck
+    return _rebuild(ck)
