@@ -1158,36 +1158,58 @@ def canonicalize_expressions(pruned: DataFrame) -> DataFrame:
     def cof(x: str | None) -> str:
         return canon.get(x, x) if x is not None else ""
 
-    for _ in range(32):  # expression nesting depth bound
-        changed = False
-        for bn in set(on_prop) | set(some_from) | set(set_head):
-            if bn in set_head:
-                kind, _h = sorted(set_head[bn])[0]
-                members = sorted(
-                    {cof(m) for _k, h in set_head[bn] for m in list_members(h)}
-                )
-                sig = kind + "|" + "|".join(members)
-            else:
-                sig = (
-                    "R|" + "|".join(sorted(on_prop.get(bn, ())))
-                    + "~" + "|".join(sorted(cof(f) for f in some_from.get(bn, ())))
-                )
-            new = "_:x" + hashlib.md5(sig.encode()).hexdigest()[:20]
-            if canon.get(bn) != new:
-                canon[bn] = new
-                changed = True
-        if not changed:
-            break
-    else:
-        # a DAG deeper than 32 levels (or a cyclic bnode structure in
-        # malformed RDF) would leave parent signatures computed from
-        # stale child ids — under-merged interning silently loses
-        # entailed edges, so fail loudly like property_schema's spine
-        # walk does
+    # topological (children-first) order: a node's signature reads the
+    # canonical ids of its bnode CHILDREN (restriction fillers, set
+    # members), so processing children first reaches the fixpoint in
+    # exactly one pass at ANY nesting depth. Kahn's algorithm also
+    # detects cyclic bnode structures (malformed RDF) upfront — a cycle
+    # has no canonical form, and proceeding would under-merge and
+    # silently lose entailed edges, so fail loudly like
+    # property_schema's spine walk does.
+    heads = set(on_prop) | set(some_from) | set(set_head)
+    deps: dict[str, set[str]] = {}  # bn -> bnode children its sig reads
+    for bn in heads:
+        kids = {f for f in some_from.get(bn, ()) if f in heads}
+        kids |= {
+            m
+            for _k, h in set_head.get(bn, ())
+            for m in list_members(h)
+            if m in heads
+        }
+        deps[bn] = kids
+    indeg = {bn: len(deps[bn]) for bn in heads}
+    dependents: dict[str, set[str]] = {bn: set() for bn in heads}
+    for bn, kids in deps.items():
+        for k in kids:
+            dependents[k].add(bn)
+    order = sorted(bn for bn in heads if indeg[bn] == 0)
+    queue = list(order)
+    while queue:
+        cur = queue.pop()
+        for par in sorted(dependents[cur]):
+            indeg[par] -= 1
+            if indeg[par] == 0:
+                order.append(par)
+                queue.append(par)
+    if len(order) < len(heads):
         raise RuntimeError(
-            "canonicalize_expressions: interning did not converge in 32 "
-            "rounds (expression DAG deeper than 32 levels or cyclic)"
+            "canonicalize_expressions: cyclic anonymous class expression "
+            f"({len(heads) - len(order)} bnodes on cycles) — no canonical "
+            "form exists; refusing to intern"
         )
+    for bn in order:
+        if bn in set_head:
+            kind, _h = sorted(set_head[bn])[0]
+            members = sorted(
+                {cof(m) for _k, h in set_head[bn] for m in list_members(h)}
+            )
+            sig = kind + "|" + "|".join(members)
+        else:
+            sig = (
+                "R|" + "|".join(sorted(on_prop.get(bn, ())))
+                + "~" + "|".join(sorted(cof(f) for f in some_from.get(bn, ())))
+            )
+        canon[bn] = "_:x" + hashlib.md5(sig.encode()).hexdigest()[:20]
     remap = [(k, v) for k, v in canon.items() if k != v]
     if not remap:
         return pruned
