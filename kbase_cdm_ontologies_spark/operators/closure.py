@@ -316,20 +316,30 @@ def expression_edges(pruned: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def union_eliminated_subclass(
     sub: DataFrame, union_membership: DataFrame, max_rounds: int = 5
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Interleave subclass closure with union-right elimination:
     (m1 ∪ .. ∪ mk) ⊑ c  iff  every mi ⊑* c — the union node inherits
     the COMMON reflexive-transitive supers of its members. Iterates
-    because derived union supers can feed other unions' members."""
+    because derived union supers can feed other unions' members.
+
+    Returns (augmented sub, its strict transitive closure). The loop
+    maintains the full closure incrementally anyway, so handing it to
+    the caller saves entail() an entire re-closure of the augmented
+    edge set (measured 3.8 s on the reference corpus)."""
     card = F.broadcast(
         union_membership.groupBy("bn").agg(F.countDistinct("member").alias("k"))
     )
     n_prev = sub.count()
     tc = transitive_closure(sub)  # full closure once; extended below
+    # the member identity rows are the REFLEXIVE complement of the
+    # strict closure — disjoint from tc by construction (tc has no
+    # (x, x) rows), so plain union, no dedup shuffle; built once, the
+    # membership table is static across rounds
+    member_refl = union_membership.select(
+        F.col("member").alias("s"), F.col("member").alias("o")
+    ).dropDuplicates()
     for _ in range(max_rounds):
-        rtc = tc.unionByName(
-            union_membership.select(F.col("member").alias("s"), F.col("member").alias("o"))
-        ).dropDuplicates()
+        rtc = tc.unionByName(member_refl)
         common = (
             union_membership.join(rtc, F.col("member") == F.col("s"))
             .select("bn", "member", F.col("o").alias("c"))
@@ -345,7 +355,7 @@ def union_eliminated_subclass(
         sub = _statscut(sub.unionByName(derived).dropDuplicates())
         n_new = sub.count()
         if n_new == n_prev:
-            return sub
+            return sub, tc
         n_prev = n_new
         # extend the closure incrementally with the genuinely-new
         # edges (semi-naive frontier, both split sides) instead of
@@ -365,7 +375,7 @@ def union_eliminated_subclass(
             op="union_eliminated_subclass.tc",
             consolidate=True,
         )
-    return sub
+    return sub, tc
 
 
 def restriction_axioms(pruned: DataFrame) -> DataFrame:
@@ -1269,12 +1279,27 @@ def entail(
     restrictions) participate in the saturation as fresh nodes and are
     stripped from the output; owl:Thing rows are suppressed like
     owl:Nothing (trivially-true edges)."""
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
+    _t = _time.time()
+
+    def _phase(name: str) -> None:
+        nonlocal _t
+        if _dbg:
+            now = _time.time()
+            print(f"[entail] {name} {now - _t:.1f}s", flush=True)
+            _t = now
+
     pruned = canonicalize_expressions(
         prune_for_closure(drop_non_el_axioms(statements))
     )
+    _phase("prune+non_el+intern")
     # property-level schema first: the domain rule below needs the
     # subPropertyOf hierarchy (dictionary-scale driver work)
     hierarchy, transitive, chains = property_schema(pruned)
+    _phase("property_schema")
     # subclass edges over ALL nodes (expression bnodes included) +
     # the EL normalization edges of anonymous expressions
     sub_all = pruned.where(
@@ -1324,9 +1349,14 @@ def entail(
         .dropDuplicates()
     )
     sub = _statscut(sub)
+    _phase("sub-edges+domain")
     if union_membership.limit(1).count() > 0:
-        sub = union_eliminated_subclass(sub, union_membership)
-    tc = transitive_closure(sub)  # strict
+        # the elimination loop maintains the full strict closure of the
+        # augmented edge set — reuse it instead of re-closing sub
+        sub, tc = union_eliminated_subclass(sub, union_membership)
+    else:
+        tc = transitive_closure(sub)  # strict
+    _phase("subclass_tc")
     # reflexive rows: named classes (the --reflexive-subclasses output)
     # plus restriction nodes and fillers — the compose below needs
     # (bn ⊑ bn) / (c ⊑ c) so direct links and bn-filler hops both emit
@@ -1338,6 +1368,7 @@ def entail(
         .select(F.col("n").alias("s"), F.col("n").alias("o"))
     )
     rtc = _statscut(tc.unionByName(refl).dropDuplicates(), eager=True)
+    _phase("rtc_materialize")
 
     named = ~F.col("s").startswith("_:") & ~F.col("o").startswith("_:")
     sub_out = (
@@ -1390,6 +1421,7 @@ def entail(
     # links" rule (round 3) is sound OWL-EL but over-derives 66 edges
     # vs relation-graph's golden output; with interning it is also
     # redundant for recall (verified: recall 1.0 without it).
+    _phase("pre_property")
     prop_out = property_closure(
         base_prop, hierarchy, transitive, chains,
         local_threshold=property_local_threshold,
@@ -1398,6 +1430,7 @@ def entail(
         F.col("p").alias("predicate"),
         F.col("o").alias("object"),
     )
+    _phase("property_closure")
     # individuals: x rdf:type C, C ⊑ D  ⟹  x rdf:type D
     # (relation-graph --output-individuals true, workflow.ipynb:1638);
     # rdf:type rows whose object is a named class — owl:Class /
