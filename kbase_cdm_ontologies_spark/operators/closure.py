@@ -167,11 +167,24 @@ def _seminaive_closure(
     debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
     news: list[DataFrame] = []
     owned: list[DataFrame] = []  # checkpoints created here — bounded cache
+    n_delta: int | None = None  # prior round's frontier count
     for rnd_i in range(max_rounds):
         t0 = _time.time()
-        hop = hop_join(delta, c)
+        # the stats-reset cuts (see plans/stats_cut.py) leave every loop
+        # frame at defaultSizeInBytes, so Catalyst never auto-broadcasts
+        # the frontier — but the DRIVER knows the frontier's exact row
+        # count from last round's action. Hinting broadcast for small
+        # frontiers skips the map-side shuffle of the (much larger)
+        # accumulated closure entirely; AQE would only downgrade the
+        # reduce-side fetch after both map stages already ran.
+        d_side = (
+            F.broadcast(delta)
+            if n_delta is not None and n_delta <= 500_000
+            else delta
+        )
+        hop = hop_join(d_side, c)
         if both_sides:
-            hop = hop.unionByName(hop_join(c, delta))
+            hop = hop.unionByName(hop_join(c, d_side))
         if not keep_self:
             hop = hop.where(F.col("s") != F.col("o"))
         delta = _statscut(
@@ -338,10 +351,14 @@ def union_eliminated_subclass(
     member_refl = union_membership.select(
         F.col("member").alias("s"), F.col("member").alias("o")
     ).dropDuplicates()
+    # membership is dictionary-scale (one row per union member); the
+    # broadcast hint keeps the join from shuffling the closure side
+    # (the cut frames' reset size estimates would otherwise force SMJ)
+    member_b = F.broadcast(union_membership)
     for _ in range(max_rounds):
         rtc = tc.unionByName(member_refl)
         common = (
-            union_membership.join(rtc, F.col("member") == F.col("s"))
+            member_b.join(rtc, F.col("member") == F.col("s"))
             .select("bn", "member", F.col("o").alias("c"))
             .where(F.col("bn") != F.col("c"))
             .groupBy("bn", "c")
