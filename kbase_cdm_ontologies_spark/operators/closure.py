@@ -177,9 +177,11 @@ def _seminaive_closure(
         # frontiers skips the map-side shuffle of the (much larger)
         # accumulated closure entirely; AQE would only downgrade the
         # reduce-side fetch after both map stages already ran.
+        # 200k rows of ~200-byte triples ≈ 40 MB — inside the
+        # session's 64 MB broadcast budget with headroom for long IRIs
         d_side = (
             F.broadcast(delta)
-            if n_delta is not None and n_delta <= 500_000
+            if n_delta is not None and n_delta <= 200_000
             else delta
         )
         hop = hop_join(d_side, c)
