@@ -511,3 +511,30 @@ def test_property_closure_union_rule_fuzz(spark):
                 ).collect()
             }
             assert got == want, (trial, thr, sorted(got ^ want)[:6])
+
+
+def test_entail_degenerate_inputs(spark):
+    # empty statements, annotation-only statements, and a minimal
+    # two-class ontology — the edges a user hits first when wiring up
+    empty = spark.createDataFrame([], "subject string, predicate string, object string")
+    no_classes = spark.createDataFrame([], "id string")
+    assert entail(empty, no_classes).count() == 0
+    ann = spark.createDataFrame(
+        [("A", "rdfs:label", "x")], ["subject", "predicate", "object"]
+    )
+    assert entail(ann, no_classes).count() == 0
+    one = spark.createDataFrame(
+        [
+            ("A", "rdfs:subClassOf", "B"),
+            ("A", "rdf:type", "owl:Class"),
+            ("B", "rdf:type", "owl:Class"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    cls = spark.createDataFrame([("A",), ("B",)], ["id"])
+    got = sorted(map(tuple, entail(one, cls).collect()))
+    assert got == [
+        ("A", "rdfs:subClassOf", "A"),
+        ("A", "rdfs:subClassOf", "B"),
+        ("B", "rdfs:subClassOf", "B"),
+    ]
