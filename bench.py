@@ -362,6 +362,59 @@ def run_dense_scale(master: str | None, n_groups: int = 250_000, chain: int = 10
     }
 
 
+def run_dense_skew(master: str | None, n_groups: int = 100_000, chain: int = 10) -> dict:
+    """Hub-skew variant of --dense-scale: every chain's foot feeds ONE
+    hub node H via part_of, and H heads a short tail chain — so every
+    one of the ~1M nodes reaches H and its tail, and the keyed hop join
+    (key = (p, mid)) concentrates on the single hot mid H. This is the
+    adversarial shape for frontier ⋈ closure joins; AQE skew-join
+    splitting is the mechanism under test."""
+    from pyspark.sql import functions as F
+
+    from kbase_cdm_ontologies_spark.operators.closure import property_closure
+    from kbase_cdm_ontologies_spark.session import get_spark
+
+    spark = get_spark(app_name="dense-skew", master=master)
+    n = n_groups * chain
+    ids = spark.range(n)
+    part_of = (
+        ids.where((F.col("id") % chain) != (chain - 1))
+        .select(
+            F.lit("part_of").alias("p"),
+            F.concat(F.lit("N"), F.col("id")).alias("s"),
+            F.concat(F.lit("N"), F.col("id") + 1).alias("o"),
+        )
+    )
+    feet_to_hub = (
+        ids.where((F.col("id") % chain) == (chain - 1))
+        .select(
+            F.lit("part_of").alias("p"),
+            F.concat(F.lit("N"), F.col("id")).alias("s"),
+            F.lit("HUB").alias("o"),
+        )
+    )
+    tail = spark.createDataFrame(
+        [("part_of", "HUB", "T0")]
+        + [("part_of", f"T{i}", f"T{i + 1}") for i in range(9)],
+        ["p", "s", "o"],
+    )
+    base = part_of.unionByName(feet_to_hub).unionByName(tail).select("s", "p", "o")
+    hierarchy = {"part_of": set()}
+    t0 = time.time()
+    out_df = property_closure(
+        base, hierarchy, {"part_of"}, [], None, local_threshold=0
+    )
+    n_out = out_df.count()
+    sec = round(time.time() - t0, 2)
+    return {
+        "base_links": int(base.count()),
+        "closure_links": int(n_out),
+        "sec": sec,
+        "links_per_sec": round(n_out / sec),
+        "regime": "forced-distributed, single hot mid-node (AQE skew-join path)",
+    }
+
+
 def run_entail_scale(master: str | None, n_classes: int = 204_800) -> dict:
     """Full OWL EL entailment (subclass TC + property closure +
     reflexive rows) at ontology-federation scale — classes, restriction
@@ -439,6 +492,7 @@ def main() -> int:
     ap.add_argument("--graph-scale", action="store_true")
     ap.add_argument("--entail-scale", action="store_true")
     ap.add_argument("--dense-scale", action="store_true")
+    ap.add_argument("--dense-skew", action="store_true")
     ap.add_argument("--pages", type=int, default=int(os.environ.get("BENCH_PAGES", "5000")))
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -457,6 +511,9 @@ def main() -> int:
         return 0
     if args.dense_scale:
         print(json.dumps(run_dense_scale(args.master)))
+        return 0
+    if args.dense_skew:
+        print(json.dumps(run_dense_skew(args.master)))
         return 0
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
