@@ -251,7 +251,7 @@ def transitive_closure(
     spark.graft.transitiveClosure.localThreshold (default 20k)."""
     if local_threshold is None:
         local_threshold = _conf_threshold(
-            edges, "spark.graft.transitiveClosure.localThreshold", 20_000
+            edges, "spark.graft.transitiveClosure.localThreshold", 100_000
         )
     c = _statscut(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("o"))
@@ -818,6 +818,20 @@ def property_closure(
     r = _statscut(
         base_edges.select("s", "p", "o").dropDuplicates(), eager=True
     )
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
+    _tp = _time.time()
+
+    def _pphase(name: str) -> None:
+        nonlocal _tp
+        if _dbg:
+            now = _time.time()
+            print(f"[pc-driver] {name} {now - _tp:.1f}s", flush=True)
+            _tp = now
+
+    _pphase("base_materialize")
     needs_fixpoint = bool(transitive or chains or union_members)
     if local_threshold and needs_fixpoint:
         if r.count() <= local_threshold:
@@ -829,16 +843,27 @@ def property_closure(
                 F.sum(F.length("s") + F.length("p") + F.length("o")).alias("b")
             ).collect()[0]["b"]
             if (est or 0) <= max_bytes:
-                closed = _local_property_saturation(
-                    {(row["s"], row["p"], row["o"]) for row in r.collect()},
-                    hierarchy, transitive, chains, union_members,
+                _pphase("count+bytes_guard")
+                # Arrow collection: toPandas() batches columns through
+                # Arrow (~5x faster than collect()'s per-row pickling
+                # at the 2M-row driver ceiling)
+                pdf = r.toPandas()
+                rows_in = set(
+                    zip(pdf["s"].tolist(), pdf["p"].tolist(), pdf["o"].tolist())
                 )
+                _pphase("collect")
+                closed = _local_property_saturation(
+                    rows_in, hierarchy, transitive, chains, union_members,
+                )
+                _pphase("saturate")
                 # sorted: set-iteration order varies with string
                 # hashing across processes, and byte-identical re-runs
                 # (export content hashes, parquet diffs) are a stated
                 # engine property; the sort costs <1 s at the 2M-row
                 # driver-path ceiling
-                return _arrow_df(spark, sorted(closed), r.schema)
+                out = _arrow_df(spark, sorted(closed), r.schema)
+                _pphase("sort+arrow")
+                return out
 
     def expand_hierarchy(df: DataFrame) -> DataFrame:
         if not hier_rows:
