@@ -329,8 +329,42 @@ def expression_edges(pruned: DataFrame) -> tuple[DataFrame, DataFrame]:
     return inter_edges.unionByName(union_edges).dropDuplicates(), union_membership
 
 
+def _local_union_elimination(
+    edges: set, members: dict, max_rounds: int
+) -> tuple[set, set]:
+    """Driver-side union-right elimination fixpoint: same semantics as
+    the distributed loop below (a union node gains the COMMON
+    reflexive-transitive supers of its members), over Python sets.
+    Returns (augmented edge set, its strict transitive closure)."""
+    for _ in range(max_rounds):
+        closed = _local_closure([("_", s, o) for s, o in edges], 50_000_000)
+        if closed is None:  # pathologically dense — caller falls back
+            return None, None
+        reach: dict = {}
+        for _k, s, o in closed:
+            reach.setdefault(s, set()).add(o)
+        derived = set()
+        for bn, ms in members.items():
+            common = None
+            for m in ms:
+                r = reach.get(m, set()) | {m}
+                common = r if common is None else (common & r)
+                if not common:
+                    break
+            for c in common or ():
+                if c != bn and (bn, c) not in edges:
+                    derived.add((bn, c))
+        if not derived:
+            return edges, {(s, o) for _k, s, o in closed}
+        edges = edges | derived
+    raise RuntimeError(
+        f"union_eliminated_subclass: no fixpoint in {max_rounds} rounds"
+    )
+
+
 def union_eliminated_subclass(
-    sub: DataFrame, union_membership: DataFrame, max_rounds: int = 5
+    sub: DataFrame, union_membership: DataFrame, max_rounds: int = 5,
+    local_threshold: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Interleave subclass closure with union-right elimination:
     (m1 ∪ .. ∪ mk) ⊑ c  iff  every mi ⊑* c — the union node inherits
@@ -338,13 +372,37 @@ def union_eliminated_subclass(
     because derived union supers can feed other unions' members.
 
     Returns (augmented sub, its strict transitive closure). The loop
-    maintains the full closure incrementally anyway, so handing it to
-    the caller saves entail() an entire re-closure of the augmented
-    edge set (measured 3.8 s on the reference corpus)."""
+    maintains the full closure anyway, so handing it to the caller
+    saves entail() an entire re-closure of the augmented edge set
+    (measured 3.8 s on the reference corpus).
+
+    Hybrid like the other closure operators: a subclass+membership
+    graph under local_threshold edges (conf:
+    spark.graft.unionElimination.localThreshold, default 200k — the
+    schema layer of an ontology federation is dictionary-scale) runs
+    the identical fixpoint driver-side (the distributed loop costs
+    ~15 Spark actions of pure scheduler latency at that size);
+    local_threshold=0 forces the distributed loop."""
+    if local_threshold is None:
+        local_threshold = _conf_threshold(
+            sub, "spark.graft.unionElimination.localThreshold", 200_000
+        )
+    n_prev = sub.count()
+    if local_threshold and n_prev <= local_threshold:
+        edges = {(r["s"], r["o"]) for r in sub.collect()}
+        mem: dict = {}
+        for r in union_membership.collect():
+            mem.setdefault(r["bn"], set()).add(r["member"])
+        out_edges, out_tc = _local_union_elimination(edges, mem, max_rounds)
+        if out_edges is not None:
+            spark = sub.sparkSession
+            return (
+                _arrow_df(spark, sorted(out_edges), sub.schema),
+                _arrow_df(spark, sorted(out_tc), sub.schema),
+            )
     card = F.broadcast(
         union_membership.groupBy("bn").agg(F.countDistinct("member").alias("k"))
     )
-    n_prev = sub.count()
     tc = transitive_closure(sub)  # full closure once; extended below
     # the member identity rows are the REFLEXIVE complement of the
     # strict closure — disjoint from tc by construction (tc has no

@@ -8,6 +8,7 @@ from kbase_cdm_ontologies_spark.operators.closure import (
     restriction_axioms,
     prune_for_closure,
     transitive_closure,
+    union_eliminated_subclass,
 )
 
 
@@ -538,3 +539,25 @@ def test_entail_degenerate_inputs(spark):
         ("A", "rdfs:subClassOf", "B"),
         ("B", "rdfs:subClassOf", "B"),
     ]
+
+
+def test_union_elimination_regimes_agree(spark):
+    # driver fixpoint vs forced-distributed loop on randomized
+    # union/subclass fixtures — identical augmented edges AND closure
+    import random
+
+    rnd = random.Random(17)
+    for trial in range(3):
+        n = 30
+        edges = {(f"c{rnd.randrange(n)}", f"c{rnd.randrange(n)}") for _ in range(40)}
+        edges = {(s, o) for s, o in edges if s != o}
+        mem = []
+        for u in range(4):
+            for m in rnd.sample(range(n), k=rnd.randrange(2, 4)):
+                mem.append((f"u{u}", f"c{m}"))
+        sub = spark.createDataFrame(sorted(edges), ["s", "o"])
+        um = spark.createDataFrame(sorted(set(mem)), ["bn", "member"])
+        d_sub, d_tc = union_eliminated_subclass(sub, um, local_threshold=10**9)
+        x_sub, x_tc = union_eliminated_subclass(sub, um, local_threshold=0)
+        assert set(map(tuple, d_sub.collect())) == set(map(tuple, x_sub.collect())), trial
+        assert set(map(tuple, d_tc.collect())) == set(map(tuple, x_tc.collect())), trial
