@@ -1394,8 +1394,16 @@ def entail(
             print(f"[entail] {name} {now - _t:.1f}s", flush=True)
             _t = now
 
-    pruned = canonicalize_expressions(
-        prune_for_closure(drop_non_el_axioms(statements))
+    # materialize the pruned+interned statements ONCE: property_schema,
+    # expression_edges, the domain rule, restriction_nodes, and the
+    # type-assert path each run several driver collects over this frame,
+    # and the canonicalize rewrite (two broadcast joins over statements)
+    # would otherwise re-execute for every one of them
+    pruned = _statscut(
+        canonicalize_expressions(
+            prune_for_closure(drop_non_el_axioms(statements))
+        ),
+        eager=True,
     )
     _phase("prune+non_el+intern")
     # property-level schema first: the domain rule below needs the
