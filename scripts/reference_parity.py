@@ -75,19 +75,27 @@ def main() -> int:
         .distinct()
     )
     t0 = time.time()
-    got = {
-        (r["subject"], r["predicate"], r["object"])
-        for r in entail(
-            stmts,
-            class_nodes,
-            property_local_threshold=0 if args.distributed else 2_000_000,
-        ).collect()
-    }
+    got_pdf = entail(
+        stmts,
+        class_nodes,
+        property_local_threshold=0 if args.distributed else 2_000_000,
+    ).toPandas()  # Arrow batches — collect() pickles 431k rows one by one
+    got = set(
+        zip(
+            got_pdf["subject"].tolist(),
+            got_pdf["predicate"].tolist(),
+            got_pdf["object"].tolist(),
+        )
+    )
     wall = round(time.time() - t0, 1)
-    gold = {
-        (r["subject"], r["predicate"], r["object"])
-        for r in spark.read.parquet(args.golden).collect()
-    }
+    gold_pdf = spark.read.parquet(args.golden).toPandas()
+    gold = set(
+        zip(
+            gold_pdf["subject"].tolist(),
+            gold_pdf["predicate"].tolist(),
+            gold_pdf["object"].tolist(),
+        )
+    )
     gold_preds = {p for _, p, _ in gold}
     got_f = {t for t in got if t[1] in gold_preds}
     tp = len(got & gold)
