@@ -4,10 +4,11 @@ Every hybrid-regime operator (driver fast path vs distributed loop)
 reads its row-count cutoff from one Spark-conf namespace so cluster
 operators can retune the routing without code changes:
 
-    spark.graft.transitiveClosure.localThreshold        (default 20k)
+    spark.graft.transitiveClosure.localThreshold        (default 100k)
     spark.graft.keyedTransitiveClosure.localThreshold   (default 20k)
     spark.graft.propertyClosure.localThreshold          (default 2M)
     spark.graft.connectedComponents.localThreshold      (default 500k)
+    spark.graft.unionElimination.localThreshold         (default 200k)
 
 plus the byte-level driver guard
 ``spark.graft.propertyClosure.driverMaxBytes`` (default 256 MB).

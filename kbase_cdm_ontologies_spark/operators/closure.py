@@ -248,7 +248,7 @@ def transitive_closure(
     pair cap — a dense closure falls back to the distributed loop);
     larger inputs run the semi-naive frontier rounds. local_threshold=0
     forces the distributed loop; None reads
-    spark.graft.transitiveClosure.localThreshold (default 20k)."""
+    spark.graft.transitiveClosure.localThreshold (default 100k)."""
     if local_threshold is None:
         local_threshold = _conf_threshold(
             edges, "spark.graft.transitiveClosure.localThreshold", 100_000
@@ -337,7 +337,10 @@ def _local_union_elimination(
     reflexive-transitive supers of its members), over Python sets.
     Returns (augmented edge set, its strict transitive closure)."""
     for _ in range(max_rounds):
-        closed = _local_closure([("_", s, o) for s, o in edges], 50_000_000)
+        # cap sized like transitive_closure's (5M at a 100k threshold):
+        # 10M pairs at the 200k-edge routing threshold keeps the driver
+        # reach index under ~1 GB before falling back to distributed
+        closed = _local_closure([("_", s, o) for s, o in edges], 10_000_000)
         if closed is None:  # pathologically dense — caller falls back
             return None, None
         reach: dict = {}
@@ -452,7 +455,12 @@ def union_eliminated_subclass(
             op="union_eliminated_subclass.tc",
             consolidate=True,
         )
-    return sub, tc
+    # mirror the driver path (_local_union_elimination) and
+    # _seminaive_closure: a non-fixpoint must fail loudly in BOTH
+    # regimes, never silently return an under-derived edge set
+    raise RuntimeError(
+        f"union_eliminated_subclass: no fixpoint in {max_rounds} rounds"
+    )
 
 
 def restriction_axioms(pruned: DataFrame) -> DataFrame:
@@ -1118,6 +1126,15 @@ def property_closure(
             parts.append(
                 close_transitive_delta(r, delta, scratch, exclude=prev_trans_new)
             )
+            # parts[0] is eagerly checkpointed (consolidate='new'), so
+            # the superseded exclude frame can be dropped immediately —
+            # without this, up to max_rounds delta-sized block-manager
+            # entries stay pinned after the operator returns
+            if prev_trans_new is not None:
+                try:
+                    prev_trans_new.unpersist()
+                except Exception:
+                    pass
             prev_trans_new = parts[0]
             if debug:
                 print(f"[pc] round {rnd} trans {_time.time() - t0:.1f}s "
@@ -1158,6 +1175,11 @@ def property_closure(
                         f.unpersist()
                     except Exception:
                         pass
+            if prev_trans_new is not None:
+                try:
+                    prev_trans_new.unpersist()
+                except Exception:
+                    pass
             return out
         prev_r = r if rnd > 0 else None
         r = _statscut(r.unionByName(delta), eager=True)

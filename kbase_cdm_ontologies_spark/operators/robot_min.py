@@ -21,7 +21,23 @@ OBO "grouping" relations semsql strips (RO:0002323
 mereotopologically-related-to and its kin), and the reconstruction is
 verifiable: with this filter the engine's output matches golden at
 P/R >= 0.9998 with NO inventory restriction (scripts/
-reference_parity.py)."""
+reference_parity.py).
+
+CALIBRATION CAVEAT (verification status, 2026-08-17): the upstream
+INCATools/semantic-sql repository publishes the real
+``src/semsql/builder/exclude-terms.txt``, but this sandbox has no
+network and the reference does not vendor the file, so the
+reconstructed list CANNOT be diffed against the authoritative upstream
+copy here. What public knowledge does support: (a) the upstream file
+exists at exactly the path the reference's command references, (b) its
+documented purpose is stripping OBO *grouping* relations before
+relation-graph, and (c) all 12 reconstructed terms are RO grouping
+relations (each verifiably absent from the golden predicate
+inventory). The parity result should therefore be read as
+CORPUS-CALIBRATED: exact on the reference's own corpus, but on a
+different ontology corpus the true upstream list could contain
+additional terms this diff never exposed. Validate against the
+upstream file before trusting cross-corpus precision."""
 
 from __future__ import annotations
 
