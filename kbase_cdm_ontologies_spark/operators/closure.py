@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import conf_threshold as _conf_threshold
+from ..plans.loop_tuning import ShufflePartitionTuner
 from ..plans.stats_cut import cut as _statscut
 
 LOGIC_PREDICATES = (
@@ -118,6 +119,7 @@ def _seminaive_closure(
     op: str = "transitive_closure",
     return_new: bool = False,
     consolidate: bool | str = False,
+    n_input: int | None = None,
 ):
     """Semi-naive (frontier) transitive-closure rounds: each round joins
     only the FRONTIER (pairs first discovered last round) against the
@@ -168,8 +170,28 @@ def _seminaive_closure(
     news: list[DataFrame] = []
     owned: list[DataFrame] = []  # checkpoints created here — bounded cache
     n_delta: int | None = None  # prior round's frontier count
+    # n_input (when the caller knows it) sizes per-round shuffles to
+    # the relation, not the session default — see plans/loop_tuning.py
+    n_c = n_input
+    tuner = ShufflePartitionTuner(c.sparkSession)
+    try:
+        return _seminaive_rounds(
+            c, delta, keyed, keep_self, max_rounds, both_sides, op,
+            return_new, consolidate, cols, hop_join, debug, _time,
+            news, owned, n_delta, n_c, tuner,
+        )
+    finally:
+        tuner.restore()
+
+
+def _seminaive_rounds(
+    c, delta, keyed, keep_self, max_rounds, both_sides, op,
+    return_new, consolidate, cols, hop_join, debug, _time,
+    news, owned, n_delta, n_c, tuner,
+):
     for rnd_i in range(max_rounds):
         t0 = _time.time()
+        tuner.tune(n_c)
         # the stats-reset cuts (see plans/stats_cut.py) leave every loop
         # frame at defaultSizeInBytes, so Catalyst never auto-broadcasts
         # the frontier — but the DRIVER knows the frontier's exact row
@@ -193,6 +215,8 @@ def _seminaive_closure(
             hop.dropDuplicates().join(c, cols, "left_anti")
         )
         n_delta = delta.count()
+        if n_c is not None:
+            n_c += n_delta
         if debug:
             print(f"[sn] {op} inner {rnd_i} delta={n_delta} "
                   f"{_time.time() - t0:.1f}s", flush=True)
@@ -258,14 +282,16 @@ def transitive_closure(
         .where(F.col("s") != F.col("o"))
         .dropDuplicates()
     )
-    if local_threshold and c.count() <= local_threshold:
+    n_c = c.count() if local_threshold else None
+    if local_threshold and n_c <= local_threshold:
         closed = _local_closure([("_", r["s"], r["o"]) for r in c.collect()], 5_000_000)
         if closed is not None:
             return _arrow_df(
                 c.sparkSession, [(s, o) for _k, s, o in closed], c.schema
             )
     return _seminaive_closure(
-        c, c, keyed=False, keep_self=False, max_rounds=max_rounds
+        c, c, keyed=False, keep_self=False, max_rounds=max_rounds,
+        n_input=n_c,
     )
 
 
@@ -510,20 +536,20 @@ def keyed_transitive_closure(
         strip(edges.select(F.col(key).alias("p"), F.col(src).alias("s"), F.col(dst).alias("o")))
         .dropDuplicates()
     )
-    if local_threshold:
-        if c.count() <= local_threshold:
-            closed = _local_closure(
-                [(r["p"], r["s"], r["o"]) for r in c.collect()], 5_000_000, keep_self
-            )
-            if closed is not None:
-                return _arrow_df(c.sparkSession, closed, c.schema)
+    n_c = c.count() if local_threshold else None
+    if local_threshold and n_c <= local_threshold:
+        closed = _local_closure(
+            [(r["p"], r["s"], r["o"]) for r in c.collect()], 5_000_000, keep_self
+        )
+        if closed is not None:
+            return _arrow_df(c.sparkSession, closed, c.schema)
     # no shuffle_hash hint in the frontier join: hub (p, mid) keys are
     # REAL in ontology property graphs and AQE's skew splitting only
     # applies to sort-merge joins — the hint produced a measured
     # one-task straggler (>10 min) on the reference corpus
     return _seminaive_closure(
         c, c, keyed=True, keep_self=keep_self, max_rounds=max_rounds,
-        op="keyed_transitive_closure",
+        op="keyed_transitive_closure", n_input=n_c,
     )
 
 
@@ -989,16 +1015,17 @@ def property_closure(
         up = df.join(h, "p").select("s", F.col("q").alias("p"), "o")
         return df.unionByName(up).dropDuplicates()
 
-    r = _statscut(expand_hierarchy(r), eager=not local_threshold)
     if not needs_fixpoint:
-        return r
+        return _statscut(expand_hierarchy(r), eager=not local_threshold)
     chain_df = (
         F.broadcast(spark.createDataFrame(chains, ["p1", "p2", "r"])) if chains else None
     )
     p1s = {c[0] for c in chains}
     p2s = {c[1] for c in chains}
 
-    def compose_chains_delta(d: DataFrame, full: DataFrame, scratch: bool) -> DataFrame:
+    def compose_chains_delta(
+        d: DataFrame, full: DataFrame, scratch: bool, d_small: bool = False
+    ) -> DataFrame:
         # semi-naive: at least one premise comes from the delta; both
         # join inputs pre-filtered to the properties the chain table can
         # actually consume — the shuffle carries only chain feed.
@@ -1007,6 +1034,10 @@ def property_closure(
         # (delta) side first, so the rule-expansion (one row per
         # matching chain) happens on the frontier, never on the full
         # accumulated link set.
+        # d_small (driver knows the frontier count): broadcast the
+        # frontier side so the full side never shuffles for these joins
+        if d_small:
+            d = F.broadcast(d)
         left = (
             d.where(F.col("p").isin(*p1s)).alias("a")
             .join(chain_df, F.col("a.p") == F.col("p1"))
@@ -1097,6 +1128,7 @@ def property_closure(
         for c in chains
     )
     if one_pass:
+        r = _statscut(expand_hierarchy(r), eager=not local_threshold)
         if transitive:
             closed_t = close_transitive_delta(r, r, scratch=True)
             new = r.unionByName(closed_t.select("s", "p", "o"))
@@ -1115,83 +1147,156 @@ def property_closure(
     import time as _time
 
     debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
+    # FLAT fused semi-naive fixpoint (round 5). The previous structure
+    # nested a full transitive-closure fixpoint (its own 1-5 actions)
+    # inside every outer chain/union round, paying 15+ jobs of pure
+    # scheduler latency per pass on dictionary-scale frames. This loop
+    # runs ALL rules — Trans (frontier ⋈ closure, both sides), Chain,
+    # Union, SubRole (hierarchy expansion of the derivations) — in ONE
+    # plan per round with ONE action (the frontier count, which also
+    # materializes the lazy checkpoint). Semi-naive doubling for the
+    # transitive rule is preserved: the frontier always composes with
+    # the FULL accumulated relation, so transitive path depth halves
+    # per round while chain/union derivations ride the same frontier.
+    # Measured on the reference corpus (--distributed): 40.7 s -> see
+    # BENCH.md; identical edge set (regime-equality fuzz + parity).
+    trans_list = sorted(transitive)
+    # SubRole split (round 5): a super-property q is ACTIVE if some
+    # loop rule consumes q-links (q transitive, or a chain premise);
+    # every other q is a pure lift TARGET — expanding to it inside the
+    # loop only pushes dead rows through every round's dedup/anti-join
+    # (measured on --dense-scale: the part_of ⊑ overlaps lift is 45% of
+    # the closure and feeds nothing). Inert lifts are applied ONCE
+    # post-fixpoint. With unions present every super stays active: the
+    # common-link aggregation can first meet at a lifted property
+    # (members holding DIFFERENT sub-properties of q), so deferring the
+    # lift would under-derive union links.
+    active_supers = set(transitive) | p1s | p2s
+    if union_members:
+        active_rows, inert_rows = hier_rows, []
+    else:
+        active_rows = [(p, q) for p, q in hier_rows if q in active_supers]
+        inert_rows = [(p, q) for p, q in hier_rows if q not in active_supers]
+    h_active = (
+        F.broadcast(spark.createDataFrame(active_rows, ["p", "q"]))
+        if active_rows
+        else None
+    )
+    if h_active is not None:
+        r = r.unionByName(
+            r.join(h_active, "p").select("s", F.col("q").alias("p"), "o")
+        ).dropDuplicates()
+    r = _statscut(r, eager=True)
+    n_r = r.count()  # seeds the shuffle tuner + broadcast decisions
     delta = r  # round 1 runs from scratch: the whole set is the frontier
+    n_delta: int | None = None
     scratch = True
-    owned: list[DataFrame] = []  # superseded checkpoints — bounded cache
-    prev_trans_new: DataFrame | None = None
-    for rnd in range(max_rounds):
-        t0 = _time.time()
-        parts: list[DataFrame] = []
-        if transitive:
-            parts.append(
-                close_transitive_delta(r, delta, scratch, exclude=prev_trans_new)
+    # flat rounds interleave chain depth WITH log2(transitive diameter)
+    # instead of multiplying them; 64 covers diameter 2^64 of pure
+    # transitivity or 64 chain/union alternations — far past any real
+    # ontology, and each round is one cheap action
+    flat_rounds = max(max_rounds, 64)
+    tuner = ShufflePartitionTuner(spark)
+    try:
+        for rnd in range(flat_rounds):
+            t0 = _time.time()
+            tuner.tune(n_r)
+            d_small = n_delta is not None and n_delta <= 200_000
+            parts: list[DataFrame] = []
+            if transitive:
+                d_t = delta.where(F.col("p").isin(*trans_list))
+                if d_small:
+                    d_t = F.broadcast(d_t)
+                r_t = r.where(F.col("p").isin(*trans_list))
+                hop = d_t.alias("a").join(
+                    r_t.alias("b"),
+                    (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("b.p")),
+                ).select(
+                    F.col("a.s").alias("s"),
+                    F.col("a.p").alias("p"),
+                    F.col("b.o").alias("o"),
+                )
+                if not scratch:
+                    # new pair may be the SUFFIX of a shortest path
+                    hop = hop.unionByName(
+                        r_t.alias("a").join(
+                            d_t.alias("b"),
+                            (F.col("a.o") == F.col("b.s"))
+                            & (F.col("a.p") == F.col("b.p")),
+                        ).select(
+                            F.col("a.s").alias("s"),
+                            F.col("a.p").alias("p"),
+                            F.col("b.o").alias("o"),
+                        )
+                    )
+                # keep_self semantics: (x, p, x) via a cycle is a real
+                # property-edge entailment — no s != o filter here
+                parts.append(hop)
+            if chain_df is not None:
+                parts.append(compose_chains_delta(delta, r, scratch, d_small))
+            if union_df is not None:
+                parts.append(derive_union_links(r))
+            new = parts[0]
+            for extra in parts[1:]:
+                new = new.unionByName(extra)
+            # ONE dedup shuffle per round: expand the raw derivations
+            # up the hierarchy first (broadcast join, duplicates are
+            # fine), dedup once, then anti-join the accumulated set.
+            # Only ACTIVE supers in-loop — inert lifts land post-loop.
+            if h_active is not None:
+                new = new.unionByName(
+                    new.join(h_active, "p").select("s", F.col("q").alias("p"), "o")
+                )
+            prev_delta = delta if rnd > 0 else None
+            delta = _statscut(
+                new.dropDuplicates().join(r, ["s", "p", "o"], "left_anti")
             )
-            # parts[0] is eagerly checkpointed (consolidate='new'), so
-            # the superseded exclude frame can be dropped immediately —
-            # without this, up to max_rounds delta-sized block-manager
-            # entries stay pinned after the operator returns
-            if prev_trans_new is not None:
+            n_delta = delta.count()
+            # the superseded frontier was folded into r at the END of
+            # last round (eager union), so its blocks are dead now
+            if prev_delta is not None:
                 try:
-                    prev_trans_new.unpersist()
+                    prev_delta.unpersist()
                 except Exception:
                     pass
-            prev_trans_new = parts[0]
             if debug:
-                print(f"[pc] round {rnd} trans {_time.time() - t0:.1f}s "
-                      f"new={parts[-1].count()}", flush=True)
-        if chain_df is not None:
-            t1 = _time.time()
-            parts.append(compose_chains_delta(delta, r, scratch))
-            if debug:
-                print(f"[pc] round {rnd} chains {_time.time() - t1:.1f}s", flush=True)
-        if union_df is not None:
-            t1 = _time.time()
-            parts.append(derive_union_links(r))
-            if debug:
-                print(f"[pc] round {rnd} union {_time.time() - t1:.1f}s", flush=True)
-        new = parts[0]
-        for extra in parts[1:]:
-            new = new.unionByName(extra)
-        t1 = _time.time()
-        prev_delta = delta if rnd > 0 else None
-        delta = _statscut(
-            expand_hierarchy(new.dropDuplicates())
-            .join(r, ["s", "p", "o"], "left_anti")
-        )
-        n_delta = delta.count()
-        if debug:
-            print(f"[pc] round {rnd} expand+anti {_time.time() - t1:.1f}s "
-                  f"delta={n_delta} total_round={_time.time() - t0:.1f}s", flush=True)
-        if n_delta == 0:
-            # synthetic chain-step properties never leave the operator.
-            # Consolidate to one checkpoint and drop the per-round
-            # copies (see _seminaive_closure on why leaving them cached
-            # degrades every later round)
-            out = r.where(~F.col("p").startswith("_:step_"))
-            if owned:
+                print(f"[pc] flat round {rnd} delta={n_delta} "
+                      f"{_time.time() - t0:.1f}s", flush=True)
+            if n_delta == 0:
+                # synthetic chain-step properties never leave the
+                # operator. Apply the deferred inert lifts once, then
+                # consolidate to one checkpoint and release the loop's
+                # block-manager footprint (see _seminaive_closure on
+                # why leaving per-round copies cached degrades every
+                # later stage)
+                out = r.where(~F.col("p").startswith("_:step_"))
+                if inert_rows:
+                    h_i = F.broadcast(
+                        spark.createDataFrame(inert_rows, ["p", "q"])
+                    )
+                    out = out.unionByName(
+                        out.join(h_i, "p").select(
+                            "s", F.col("q").alias("p"), "o"
+                        )
+                    ).dropDuplicates()
                 out = _statscut(out, eager=True)
-                for f in owned:
+                for f in (r, delta):
                     try:
                         f.unpersist()
                     except Exception:
                         pass
-            if prev_trans_new is not None:
-                try:
-                    prev_trans_new.unpersist()
-                except Exception:
-                    pass
-            return out
-        prev_r = r if rnd > 0 else None
-        r = _statscut(r.unionByName(delta), eager=True)
-        for f in (prev_delta, prev_r):
-            if f is not None:
-                try:
-                    f.unpersist()
-                except Exception:
-                    pass
-        owned += [delta, r]
-        scratch = False
-    raise RuntimeError(f"property_closure: no fixpoint in {max_rounds} rounds")
+                return out
+            n_r += n_delta
+            old_r = r
+            r = _statscut(r.unionByName(delta), eager=True)
+            try:
+                old_r.unpersist()
+            except Exception:
+                pass
+            scratch = False
+    finally:
+        tuner.restore()
+    raise RuntimeError(f"property_closure: no fixpoint in {flat_rounds} rounds")
 
 
 # Constructs whose OWL-API expression Whelk's Bridge CANNOT convert —

@@ -71,6 +71,13 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/kg_spark_warehouse"),
         )
     )
+    # generic conf passthrough for A/B experiments and cluster retunes
+    # without code edits: SPARK_GRAFT_CONF="k=v;k=v" (applied before
+    # extra_conf so programmatic callers win)
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
