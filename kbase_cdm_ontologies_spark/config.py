@@ -19,12 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def conf_threshold(df: DataFrame, key: str, default: int) -> int:
+def conf_threshold(df, key: str, default: int) -> int:
     """Read an integer threshold from the session conf, falling back to
     the operator's default when unset or empty. A value of 0 is a
     meaningful setting (it forces the distributed regime), so only
-    None/empty fall through to the default."""
-    conf = df.sparkSession.conf.get(key, None)
+    None/empty fall through to the default. Accepts a DataFrame or a
+    SparkSession."""
+    spark = getattr(df, "sparkSession", df)
+    conf = spark.conf.get(key, None)
     if conf is None or conf == "":
         return default
     return int(conf)

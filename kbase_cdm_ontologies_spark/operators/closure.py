@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..config import conf_threshold as _conf_threshold
 from ..plans.loop_tuning import ShufflePartitionTuner
 from ..plans.stats_cut import cut as _statscut
+from ..plans.stratify import build_schedule, may_fire, merge_strata
 
 LOGIC_PREDICATES = (
     "rdfs:subClassOf",
@@ -904,6 +905,351 @@ def _local_property_saturation_core(
                 )
 
 
+def _chain_compose(
+    chain_df, p1s: set, p2s: set, d: DataFrame, full: DataFrame,
+    scratch: bool, d_small: bool = False,
+) -> DataFrame:
+    """Semi-naive chain-rule compose: at least one premise comes from
+    the delta `d`; both join inputs are pre-filtered to the properties
+    the broadcast (p1, p2, r) chain table can actually consume, so the
+    shuffle carries only chain feed. JOIN ORDER MATTERS (no CBO —
+    Catalyst keeps the written order): the chain table binds the SMALL
+    (delta) side first, so rule expansion happens on the frontier,
+    never on the full accumulated link set. d_small broadcasts the
+    frontier so the full side never shuffles for these joins."""
+    if d_small:
+        d = F.broadcast(d)
+    left = (
+        d.where(F.col("p").isin(*p1s)).alias("a")
+        .join(chain_df, F.col("a.p") == F.col("p1"))
+        .join(
+            full.where(F.col("p").isin(*p2s)).alias("b"),
+            (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
+        )
+        .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
+    )
+    if scratch:  # d == full: one direction covers both premises
+        return left
+    right = (
+        d.where(F.col("p").isin(*p2s)).alias("b")
+        .join(chain_df, F.col("b.p") == F.col("p2"))
+        .join(
+            full.where(F.col("p").isin(*p1s)).alias("a"),
+            (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("p1")),
+        )
+        .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
+    )
+    return left.unionByName(right)
+
+
+def _union_links(union_df, card, full: DataFrame) -> DataFrame:
+    """(bn, p, o) where EVERY member of union bn carries (member, p, o);
+    union_df is schema-scale (broadcast), the join output is only the
+    members' links, the count-distinct is map-side combinable."""
+    return (
+        union_df.join(full, F.col("member") == F.col("s"))
+        .groupBy("bn", "p", "o")
+        .agg(F.countDistinct("member").alias("n"))
+        .join(card, "bn")
+        .where(F.col("n") == F.col("k"))
+        .select(F.col("bn").alias("s"), "p", "o")
+    )
+
+
+def _linear_fixpoint(
+    seed: DataFrame,
+    static_df: DataFrame,
+    side: str,
+    n_seed: int,
+    n_static: int,
+    op: str = "linear",
+    cap: int = 48,
+    static_closed: bool = False,
+) -> tuple[DataFrame, int]:
+    """Linear-recursion fixpoint over (s, o) pair frames: all pairs of
+    ``static* ∘ seed`` (side="prefix") or ``seed ∘ static*``
+    (side="suffix"). ``_linear_fixpoint(M, M, "suffix")`` is the
+    transitive closure ``M⁺``.
+
+    This is the O(frontier + static-edges)-per-round evaluator the
+    stratified schedule routes single-property recursion through (see
+    plans/stratify.py): unlike the doubling loop, the accumulated
+    closure is NEVER reshuffled every round. The frontier is extended
+    one static hop per round and deduped WITHIN the round only; pairs
+    re-derived along longer paths (diamonds, cycles) are culled by an
+    ADAPTIVE cleanse — an anti-join against the consolidated
+    accumulated set, triggered only when the frontier stops shrinking
+    (the cycle/multiplicity signature). On simple-path graphs
+    (taxonomy trees, partonomy chains — the 100-TB shapes) no cleanse
+    ever fires and total shuffle is |edges|·depth + |closure|, the
+    information-theoretic floor for a shuffle join engine.
+
+    static_closed=True declares the static side transitively closed
+    (A∘A ⊆ A — the scheduler knows this when a lone prefix/suffix
+    premise is a transitive property closed by an earlier stratum).
+    Every genuine derivation then lands in round 0 and all later
+    rounds are re-derivations, so the cleanse runs from round 1 and
+    the loop exits after two rounds instead of grinding |depth| junk
+    rounds (measured on --dense-scale: 8 rounds -> 2).
+
+    Termination is exact WITHOUT a periodic backstop: an empty RAW
+    frontier means no paths of that length exist at all; an empty
+    POST-CLEANSE frontier means every just-derived pair was already
+    known, and by induction every longer path's pair was derived from
+    a known prefix earlier. A strictly shrinking frontier reaches 0 by
+    integer descent; a non-shrinking one triggers the cleanse, which
+    empties once the closure is complete — so every input terminates.
+    ``cap`` bounds pathological depth (diameter > cap): the caller
+    falls back to the doubling loop, closing the static side with
+    `_seminaive_closure` and applying it in one join.
+
+    Returns (consolidated eager frame, row count)."""
+    import os as _os
+    import time as _time
+
+    debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
+    spark = seed.sparkSession
+
+    def _hop(d: DataFrame, d_small: bool) -> DataFrame:
+        if d_small:
+            d = F.broadcast(d)
+        if side == "suffix":
+            a, b = d.alias("a"), static_df.alias("b")
+        else:
+            a, b = static_df.alias("a"), d.alias("b")
+        return a.join(b, F.col("a.o") == F.col("b.s")).select(
+            F.col("a.s").alias("s"), F.col("b.o").alias("o")
+        )
+
+    def _consolidate(frames: list[DataFrame]) -> tuple[DataFrame, int]:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        out = _statscut(out.dropDuplicates(), eager=True)
+        return out, out.count()
+
+    if n_seed == 0:
+        return seed, 0
+    frames: list[DataFrame] = [seed]
+    owned: list[DataFrame] = []
+    delta = seed
+    n_delta = n_seed
+    prev_n: int | None = None
+    # the anti-join target for the cleanse: the consolidated union of
+    # frames[:acc_upto]. The seed arrives consolidated-eager from every
+    # caller, so it IS the initial acc — no empty-list consolidation
+    # when the cleanse fires in round 0 (static_closed).
+    acc: DataFrame = seed
+    acc_upto = 1  # frames[:acc_upto] are folded into acc
+    tuner = ShufflePartitionTuner(spark)
+    try:
+        for rnd in range(cap):
+            t0 = _time.time()
+            tuner.tune(n_static + n_delta)
+            delta = _statscut(
+                _hop(delta, n_delta <= 200_000).dropDuplicates()
+            )
+            n_delta = delta.count()
+            cleansed = False
+            if n_delta and (
+                static_closed
+                or (prev_n is not None and n_delta >= prev_n)
+            ):
+                if acc_upto < len(frames):
+                    acc, _na = _consolidate([acc] + frames[acc_upto:])
+                    owned.append(acc)
+                    acc_upto = len(frames)
+                delta = _statscut(delta.join(acc, ["s", "o"], "left_anti"))
+                n_delta = delta.count()
+                cleansed = True
+            prev_n = n_delta
+            if debug:
+                print(
+                    f"[lin] {op} {side} round {rnd} delta={n_delta}"
+                    f"{' (cleansed)' if cleansed else ''} "
+                    f"{_time.time() - t0:.1f}s",
+                    flush=True,
+                )
+            if n_delta == 0:
+                out, n_out = _consolidate(frames)
+                for f in owned + frames[1:]:
+                    try:
+                        f.unpersist()
+                    except Exception:
+                        pass
+                return out, n_out
+            frames.append(delta)
+            owned.append(delta)
+    finally:
+        tuner.restore()
+    # cap hit (diameter > cap): doubling fallback — close the STATIC
+    # side once (O(log diameter) rounds) and apply it in one join:
+    # static* ∘ seed == seed ∪ static⁺ ∘ seed (and symmetrically).
+    if debug:
+        print(f"[lin] {op} cap {cap} hit — doubling fallback", flush=True)
+    st_closed = _seminaive_closure(
+        static_df, static_df, keyed=False, keep_self=True,
+        max_rounds=40, op=f"{op}.fallback", n_input=n_static,
+    )
+    if side == "suffix":
+        ext = seed.alias("a").join(
+            st_closed.alias("b"), F.col("a.o") == F.col("b.s")
+        ).select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+    else:
+        ext = st_closed.alias("a").join(
+            seed.alias("b"), F.col("a.o") == F.col("b.s")
+        ).select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+    out = _statscut(
+        seed.unionByName(ext).dropDuplicates(), eager=True
+    )
+    n_out = out.count()
+    for f in owned:
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    return out, n_out
+
+
+def _generic_property_fixpoint(
+    spark,
+    r: DataFrame,
+    transitive: set,
+    chains: list,
+    lift_rows: list,
+    union_df,
+    card,
+    max_rounds: int,
+) -> DataFrame:
+    """Global semi-naive fixpoint over ALL property rules at once —
+    the evaluator for mutually-recursive strata and for union-rule
+    schemas (which defeat stratification; see plans/stratify.py). One
+    plan and ONE action per round: Trans (frontier ⋈ closure, both
+    sides, doubling preserved), Chain, Union and the SubRole lift all
+    derive from the same frontier, the raw derivations are lifted,
+    deduped once, and anti-joined against the accumulated set.
+
+    Returns the closed frame (synthetic ``_:step_*`` chain-step rows
+    RETAINED — the caller filters them with its final projection)."""
+    import os as _os
+    import time as _time
+
+    debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
+    trans_list = sorted(transitive)
+    chain_df = (
+        F.broadcast(spark.createDataFrame(chains, ["p1", "p2", "r"]))
+        if chains
+        else None
+    )
+    p1s = {c[0] for c in chains}
+    p2s = {c[1] for c in chains}
+    h_active = (
+        F.broadcast(spark.createDataFrame(lift_rows, ["p", "q"]))
+        if lift_rows
+        else None
+    )
+    if h_active is not None:
+        r = r.unionByName(
+            r.join(h_active, "p").select("s", F.col("q").alias("p"), "o")
+        ).dropDuplicates()
+    r = _statscut(r, eager=True)
+    n_r = r.count()  # seeds the shuffle tuner + broadcast decisions
+    delta = r  # round 1 runs from scratch: the whole set is the frontier
+    n_delta: int | None = None
+    scratch = True
+    # flat rounds interleave chain depth WITH log2(transitive diameter)
+    # instead of multiplying them; 64 covers diameter 2^64 of pure
+    # transitivity or 64 chain/union alternations — far past any real
+    # ontology, and each round is one cheap action
+    flat_rounds = max(max_rounds, 64)
+    tuner = ShufflePartitionTuner(spark)
+    try:
+        for rnd in range(flat_rounds):
+            t0 = _time.time()
+            tuner.tune(n_r)
+            d_small = n_delta is not None and n_delta <= 200_000
+            parts: list[DataFrame] = []
+            if transitive:
+                d_t = delta.where(F.col("p").isin(*trans_list))
+                if d_small:
+                    d_t = F.broadcast(d_t)
+                r_t = r.where(F.col("p").isin(*trans_list))
+                hop = d_t.alias("a").join(
+                    r_t.alias("b"),
+                    (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("b.p")),
+                ).select(
+                    F.col("a.s").alias("s"),
+                    F.col("a.p").alias("p"),
+                    F.col("b.o").alias("o"),
+                )
+                if not scratch:
+                    # new pair may be the SUFFIX of a shortest path
+                    hop = hop.unionByName(
+                        r_t.alias("a").join(
+                            d_t.alias("b"),
+                            (F.col("a.o") == F.col("b.s"))
+                            & (F.col("a.p") == F.col("b.p")),
+                        ).select(
+                            F.col("a.s").alias("s"),
+                            F.col("a.p").alias("p"),
+                            F.col("b.o").alias("o"),
+                        )
+                    )
+                # keep_self semantics: (x, p, x) via a cycle is a real
+                # property-edge entailment — no s != o filter here
+                parts.append(hop)
+            if chain_df is not None:
+                parts.append(
+                    _chain_compose(chain_df, p1s, p2s, delta, r, scratch, d_small)
+                )
+            if union_df is not None:
+                parts.append(_union_links(union_df, card, r))
+            new = parts[0]
+            for extra in parts[1:]:
+                new = new.unionByName(extra)
+            # ONE dedup shuffle per round: expand the raw derivations
+            # up the hierarchy first (broadcast join, duplicates are
+            # fine), dedup once, then anti-join the accumulated set.
+            if h_active is not None:
+                new = new.unionByName(
+                    new.join(h_active, "p").select("s", F.col("q").alias("p"), "o")
+                )
+            prev_delta = delta if rnd > 0 else None
+            delta = _statscut(
+                new.dropDuplicates().join(r, ["s", "p", "o"], "left_anti")
+            )
+            n_delta = delta.count()
+            # the superseded frontier was folded into r at the END of
+            # last round (eager union), so its blocks are dead now
+            if prev_delta is not None:
+                try:
+                    prev_delta.unpersist()
+                except Exception:
+                    pass
+            if debug:
+                print(f"[pc] flat round {rnd} delta={n_delta} "
+                      f"{_time.time() - t0:.1f}s", flush=True)
+            if n_delta == 0:
+                out = _statscut(r, eager=True)
+                for f in (r, delta):
+                    try:
+                        f.unpersist()
+                    except Exception:
+                        pass
+                return out
+            n_r += n_delta
+            old_r = r
+            r = _statscut(r.unionByName(delta), eager=True)
+            try:
+                old_r.unpersist()
+            except Exception:
+                pass
+            scratch = False
+    finally:
+        tuner.restore()
+    raise RuntimeError(f"property_closure: no fixpoint in {flat_rounds} rounds")
+
+
 def property_closure(
     base_edges: DataFrame,
     hierarchy: dict[str, set[str]],
@@ -1026,39 +1372,7 @@ def property_closure(
     def compose_chains_delta(
         d: DataFrame, full: DataFrame, scratch: bool, d_small: bool = False
     ) -> DataFrame:
-        # semi-naive: at least one premise comes from the delta; both
-        # join inputs pre-filtered to the properties the chain table can
-        # actually consume — the shuffle carries only chain feed.
-        # JOIN ORDER MATTERS (no CBO -> Catalyst keeps the written
-        # order): the broadcast chain table always binds the SMALL
-        # (delta) side first, so the rule-expansion (one row per
-        # matching chain) happens on the frontier, never on the full
-        # accumulated link set.
-        # d_small (driver knows the frontier count): broadcast the
-        # frontier side so the full side never shuffles for these joins
-        if d_small:
-            d = F.broadcast(d)
-        left = (
-            d.where(F.col("p").isin(*p1s)).alias("a")
-            .join(chain_df, F.col("a.p") == F.col("p1"))
-            .join(
-                full.where(F.col("p").isin(*p2s)).alias("b"),
-                (F.col("a.o") == F.col("b.s")) & (F.col("b.p") == F.col("p2")),
-            )
-            .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
-        )
-        if scratch:  # d == full: one direction covers both premises
-            return left
-        right = (
-            d.where(F.col("p").isin(*p2s)).alias("b")
-            .join(chain_df, F.col("b.p") == F.col("p2"))
-            .join(
-                full.where(F.col("p").isin(*p1s)).alias("a"),
-                (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("p1")),
-            )
-            .select(F.col("a.s").alias("s"), F.col("r").alias("p"), F.col("b.o").alias("o"))
-        )
-        return left.unionByName(right)
+        return _chain_compose(chain_df, p1s, p2s, d, full, scratch, d_small)
 
     union_df = card = None
     if union_members:
@@ -1073,17 +1387,7 @@ def property_closure(
             )
 
     def derive_union_links(full: DataFrame) -> DataFrame:
-        # (bn, p, o) where EVERY member of union bn carries (member, p, o);
-        # union_df is schema-scale (broadcast), the join output is only
-        # the members' links, the count-distinct is map-side combinable
-        return (
-            union_df.join(full, F.col("member") == F.col("s"))
-            .groupBy("bn", "p", "o")
-            .agg(F.countDistinct("member").alias("n"))
-            .join(card, "bn")
-            .where(F.col("n") == F.col("k"))
-            .select(F.col("bn").alias("s"), "p", "o")
-        )
+        return _union_links(union_df, card, full)
 
     def close_transitive_delta(
         full: DataFrame, d: DataFrame, scratch: bool,
@@ -1143,160 +1447,247 @@ def property_closure(
         out = expand_hierarchy(new.dropDuplicates())
         return out.where(~F.col("p").startswith("_:step_"))
 
-    import os as _os
-    import time as _time
+    # ---- stratified distributed evaluation (round 5) ----
+    # Compile the rule set into an SCC-condensed schedule and evaluate
+    # strata in dependency order (see plans/stratify.py). Single-
+    # property recursion runs through the O(frontier + static-edges)
+    # linear fixpoint; mutually-recursive components and union-rule
+    # schemas run the global fused semi-naive loop. Regime-equality is
+    # enforced by the fuzz suites (random schemas vs a pure-Python
+    # saturation in BOTH regimes) and by reference parity.
+    sched = build_schedule(hierarchy, transitive, chains, union_members)
+    if sched is None:
+        # union rules defeat stratification: every lift is active and
+        # links can first meet at any lifted property
+        closed = _generic_property_fixpoint(
+            spark, r, transitive, chains, hier_rows, union_df, card,
+            max_rounds,
+        )
+        return closed.where(~F.col("p").startswith("_:step_"))
+
+    link_frames: list[DataFrame] = [r]
+
+    def links_slice(props: set) -> DataFrame:
+        out = link_frames[0]
+        for f in link_frames[1:]:
+            out = out.unionByName(f)
+        if props:
+            out = out.where(F.col("p").isin(*sorted(props)))
+        return out
 
     debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
-    # FLAT fused semi-naive fixpoint (round 5). The previous structure
-    # nested a full transitive-closure fixpoint (its own 1-5 actions)
-    # inside every outer chain/union round, paying 15+ jobs of pure
-    # scheduler latency per pass on dictionary-scale frames. This loop
-    # runs ALL rules — Trans (frontier ⋈ closure, both sides), Chain,
-    # Union, SubRole (hierarchy expansion of the derivations) — in ONE
-    # plan per round with ONE action (the frontier count, which also
-    # materializes the lazy checkpoint). Semi-naive doubling for the
-    # transitive rule is preserved: the frontier always composes with
-    # the FULL accumulated relation, so transitive path depth halves
-    # per round while chain/union derivations ride the same frontier.
-    # Measured on the reference corpus (--distributed): 40.7 s -> see
-    # BENCH.md; identical edge set (regime-equality fuzz + parity).
-    trans_list = sorted(transitive)
-    # SubRole split (round 5): a super-property q is ACTIVE if some
-    # loop rule consumes q-links (q transitive, or a chain premise);
-    # every other q is a pure lift TARGET — expanding to it inside the
-    # loop only pushes dead rows through every round's dedup/anti-join
-    # (measured on --dense-scale: the part_of ⊑ overlaps lift is 45% of
-    # the closure and feeds nothing). Inert lifts are applied ONCE
-    # post-fixpoint. With unions present every super stays active: the
-    # common-link aggregation can first meet at a lifted property
-    # (members holding DIFFERENT sub-properties of q), so deferring the
-    # lift would under-derive union links.
-    active_supers = set(transitive) | p1s | p2s
-    if union_members:
-        active_rows, inert_rows = hier_rows, []
-    else:
-        active_rows = [(p, q) for p, q in hier_rows if q in active_supers]
-        inert_rows = [(p, q) for p, q in hier_rows if q not in active_supers]
-    h_active = (
-        F.broadcast(spark.createDataFrame(active_rows, ["p", "q"]))
-        if active_rows
-        else None
+    import time as _time
+
+    # Driver-side per-property link counts (ONE action, schema-scale
+    # result), maintained incrementally as strata derive. They buy two
+    # things the plain stratum-per-component walk cannot afford (181
+    # strata x ~0.6 s of fixed action latency on the reference corpus):
+    #   1. SKIP — a stratum none of whose rules can fire (every rule
+    #      has a zero-link premise, checked by the boolean fixpoint in
+    #      plans/stratify.py::may_fire) runs ZERO Spark jobs.
+    #   2. BATCH — contiguous runs of small fireable strata are fused
+    #      into ONE generic semi-naive fixpoint (merge_strata): the
+    #      batch pays a handful of actions total instead of ~4 each.
+    #      Only strata whose premise feed exceeds batchThreshold run
+    #      alone through their specialized (linear) evaluator — that
+    #      is exactly the regime where O(frontier)-per-round shuffles
+    #      beat the fused loop's O(accumulated) reshuffle.
+    prop_counts: dict = {
+        row["p"]: row["cnt"]
+        for row in r.groupBy("p").agg(F.count("*").alias("cnt")).collect()
+    }
+    batch_threshold = _conf_threshold(
+        spark, "spark.graft.propertyClosure.batchThreshold", 1_000_000
     )
-    if h_active is not None:
-        r = r.unionByName(
-            r.join(h_active, "p").select("s", F.col("q").alias("p"), "o")
-        ).dropDuplicates()
-    r = _statscut(r, eager=True)
-    n_r = r.count()  # seeds the shuffle tuner + broadcast decisions
-    delta = r  # round 1 runs from scratch: the whole set is the frontier
-    n_delta: int | None = None
-    scratch = True
-    # flat rounds interleave chain depth WITH log2(transitive diameter)
-    # instead of multiplying them; 64 covers diameter 2^64 of pure
-    # transitivity or 64 chain/union alternations — far past any real
-    # ontology, and each round is one cheap action
-    flat_rounds = max(max_rounds, 64)
-    tuner = ShufflePartitionTuner(spark)
-    try:
-        for rnd in range(flat_rounds):
-            t0 = _time.time()
-            tuner.tune(n_r)
-            d_small = n_delta is not None and n_delta <= 200_000
+
+    def _premises(st) -> set:
+        prem = set(st.trans) | set(st.props)
+        for p, _q in st.lifts:
+            prem.add(p)
+        for p1, p2, _t in st.chains:
+            prem.add(p1)
+            prem.add(p2)
+        return prem
+
+    pending: list = []
+    pending_concl: set = set()
+
+    def run_unit(st, label: str) -> None:
+        t_st = _time.time()
+        comp = sorted(st.props)
+        lift_sources = {p for p, _q in st.lifts}
+        if st.kind == "generic":
+            needed = (
+                set(st.props)
+                | {c[0] for c in st.chains}
+                | {c[1] for c in st.chains}
+                | lift_sources
+            )
+            sub = _statscut(links_slice(needed), eager=True)
+            closed = _generic_property_fixpoint(
+                spark, sub, st.trans, st.chains, st.lifts, None, None,
+                max_rounds,
+            )
+            new = _statscut(
+                closed.where(F.col("p").isin(*comp)).join(
+                    links_slice(set(st.props)), ["s", "p", "o"], "left_anti"
+                ),
+                eager=True,
+            )
+        elif st.kind == "static":
             parts: list[DataFrame] = []
-            if transitive:
-                d_t = delta.where(F.col("p").isin(*trans_list))
-                if d_small:
-                    d_t = F.broadcast(d_t)
-                r_t = r.where(F.col("p").isin(*trans_list))
-                hop = d_t.alias("a").join(
-                    r_t.alias("b"),
-                    (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("b.p")),
-                ).select(
-                    F.col("a.s").alias("s"),
-                    F.col("a.p").alias("p"),
-                    F.col("b.o").alias("o"),
+            if st.lifts:
+                lift_df = F.broadcast(
+                    spark.createDataFrame(st.lifts, ["p", "q"])
                 )
-                if not scratch:
-                    # new pair may be the SUFFIX of a shortest path
-                    hop = hop.unionByName(
-                        r_t.alias("a").join(
-                            d_t.alias("b"),
-                            (F.col("a.o") == F.col("b.s"))
-                            & (F.col("a.p") == F.col("b.p")),
-                        ).select(
-                            F.col("a.s").alias("s"),
-                            F.col("a.p").alias("p"),
-                            F.col("b.o").alias("o"),
-                        )
-                    )
-                # keep_self semantics: (x, p, x) via a cycle is a real
-                # property-edge entailment — no s != o filter here
-                parts.append(hop)
-            if chain_df is not None:
-                parts.append(compose_chains_delta(delta, r, scratch, d_small))
-            if union_df is not None:
-                parts.append(derive_union_links(r))
+                parts.append(
+                    links_slice(lift_sources)
+                    .join(lift_df, "p")
+                    .select("s", F.col("q").alias("p"), "o")
+                )
+            if st.chains:
+                c_df = F.broadcast(
+                    spark.createDataFrame(st.chains, ["p1", "p2", "r"])
+                )
+                c_p1s = {c[0] for c in st.chains}
+                c_p2s = {c[1] for c in st.chains}
+                feed = links_slice(c_p1s | c_p2s)
+                parts.append(
+                    _chain_compose(c_df, c_p1s, c_p2s, feed, feed, True)
+                )
             new = parts[0]
             for extra in parts[1:]:
                 new = new.unionByName(extra)
-            # ONE dedup shuffle per round: expand the raw derivations
-            # up the hierarchy first (broadcast join, duplicates are
-            # fine), dedup once, then anti-join the accumulated set.
-            # Only ACTIVE supers in-loop — inert lifts land post-loop.
-            if h_active is not None:
-                new = new.unionByName(
-                    new.join(h_active, "p").select("s", F.col("q").alias("p"), "o")
-                )
-            prev_delta = delta if rnd > 0 else None
-            delta = _statscut(
-                new.dropDuplicates().join(r, ["s", "p", "o"], "left_anti")
+            new = _statscut(
+                new.dropDuplicates().join(
+                    links_slice(set(st.props)), ["s", "p", "o"], "left_anti"
+                ),
+                eager=True,
             )
-            n_delta = delta.count()
-            # the superseded frontier was folded into r at the END of
-            # last round (eager union), so its blocks are dead now
-            if prev_delta is not None:
-                try:
-                    prev_delta.unpersist()
-                except Exception:
-                    pass
-            if debug:
-                print(f"[pc] flat round {rnd} delta={n_delta} "
-                      f"{_time.time() - t0:.1f}s", flush=True)
-            if n_delta == 0:
-                # synthetic chain-step properties never leave the
-                # operator. Apply the deferred inert lifts once, then
-                # consolidate to one checkpoint and release the loop's
-                # block-manager footprint (see _seminaive_closure on
-                # why leaving per-round copies cached degrades every
-                # later stage)
-                out = r.where(~F.col("p").startswith("_:step_"))
-                if inert_rows:
-                    h_i = F.broadcast(
-                        spark.createDataFrame(inert_rows, ["p", "q"])
-                    )
-                    out = out.unionByName(
-                        out.join(h_i, "p").select(
-                            "s", F.col("q").alias("p"), "o"
-                        )
-                    ).dropDuplicates()
-                out = _statscut(out, eager=True)
-                for f in (r, delta):
-                    try:
-                        f.unpersist()
-                    except Exception:
-                        pass
-                return out
-            n_r += n_delta
-            old_r = r
-            r = _statscut(r.unionByName(delta), eager=True)
-            try:
-                old_r.unpersist()
-            except Exception:
-                pass
-            scratch = False
-    finally:
-        tuner.restore()
-    raise RuntimeError(f"property_closure: no fixpoint in {flat_rounds} rounds")
+        else:  # linear: single property q
+            (q,) = st.props
+            seed_parts = [links_slice({q}).select("s", "o")]
+            if st.lifts:
+                seed_parts.append(
+                    links_slice(lift_sources).select("s", "o")
+                )
+            static_chains = [
+                c for c in st.chains if c[0] != q and c[1] != q
+            ]
+            if static_chains:
+                c_df = F.broadcast(
+                    spark.createDataFrame(static_chains, ["p1", "p2", "r"])
+                )
+                c_p1s = {c[0] for c in static_chains}
+                c_p2s = {c[1] for c in static_chains}
+                feed = links_slice(c_p1s | c_p2s)
+                seed_parts.append(
+                    _chain_compose(c_df, c_p1s, c_p2s, feed, feed, True)
+                    .select("s", "o")
+                )
+            seed = seed_parts[0]
+            for extra in seed_parts[1:]:
+                seed = seed.unionByName(extra)
+            m = _statscut(seed.dropDuplicates(), eager=True)
+            n_m = m.count()
+            # a LONE prefix/suffix premise that is itself a transitive
+            # property was closed by its (earlier) stratum: A∘A ⊆ A,
+            # so the fixpoint saturates in one hop — see
+            # _linear_fixpoint(static_closed=...)
+            if st.prefix_props and n_m:
+                pre = _statscut(
+                    links_slice(st.prefix_props).select("s", "o"),
+                    eager=True,
+                )
+                m, n_m = _linear_fixpoint(
+                    m, pre, "prefix", n_m, pre.count(), op=q,
+                    static_closed=(
+                        len(st.prefix_props) == 1
+                        and next(iter(st.prefix_props)) in transitive
+                    ),
+                )
+            if st.suffix_props and n_m:
+                suf = _statscut(
+                    links_slice(st.suffix_props).select("s", "o"),
+                    eager=True,
+                )
+                m, n_m = _linear_fixpoint(
+                    m, suf, "suffix", n_m, suf.count(), op=q,
+                    static_closed=(
+                        len(st.suffix_props) == 1
+                        and next(iter(st.suffix_props)) in transitive
+                    ),
+                )
+            if st.eff_trans and n_m:
+                m, n_m = _linear_fixpoint(
+                    m, m, "suffix", n_m, n_m, op=f"{q}.tc"
+                )
+            new = _statscut(
+                m.select("s", F.lit(q).alias("p"), "o").join(
+                    links_slice({q}), ["s", "p", "o"], "left_anti"
+                ),
+                eager=True,
+            )
+        # per-property breakdown of the derivations (drives the SKIP
+        # decisions for later strata); `new` is already materialized by
+        # the eager statscut, so this aggregate is a cheap second action
+        rows = new.groupBy("p").agg(F.count("*").alias("cnt")).collect()
+        n_new = 0
+        for row in rows:
+            prop_counts[row["p"]] = prop_counts.get(row["p"], 0) + row["cnt"]
+            n_new += row["cnt"]
+        if debug:
+            print(
+                f"[pc] {label} {comp if len(comp) <= 6 else len(comp)} "
+                f"({st.kind}) new={n_new} {_time.time() - t_st:.1f}s",
+                flush=True,
+            )
+        if n_new:
+            link_frames.append(new)
+
+    def flush_pending() -> None:
+        nonlocal pending, pending_concl
+        if not pending:
+            return
+        if len(pending) == 1:
+            run_unit(pending[0], "stratum")
+        else:
+            run_unit(merge_strata(pending), f"batch[{len(pending)}]")
+        pending = []
+        pending_concl = set()
+
+    for st in sched.strata:
+        if st.rule_free():
+            continue
+        has_links = {p for p, n in prop_counts.items() if n > 0} | pending_concl
+        if not may_fire(st, has_links):
+            continue
+        if sum(prop_counts.get(p, 0) for p in _premises(st)) > batch_threshold:
+            # big feed: flush the small batch first (it may feed this
+            # stratum — dependency order), then run alone through the
+            # specialized evaluator
+            flush_pending()
+            run_unit(st, "stratum")
+        else:
+            pending.append(st)
+            pending_concl |= set(st.props)
+    flush_pending()
+
+    out = links_slice(set()).where(~F.col("p").startswith("_:step_"))
+    if sched.inert_lifts:
+        h_i = F.broadcast(
+            spark.createDataFrame(sched.inert_lifts, ["p", "q"])
+        )
+        out = out.unionByName(
+            out.join(h_i, "p").select("s", F.col("q").alias("p"), "o")
+        ).dropDuplicates()
+    out = _statscut(out, eager=True)
+    for f in link_frames:
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    return out
 
 
 # Constructs whose OWL-API expression Whelk's Bridge CANNOT convert —

@@ -462,13 +462,17 @@ def test_property_closure_fuzz_vs_python(spark):
                     hierarchy[p] |= hierarchy.get(q, {q})
                     changed |= len(hierarchy[p]) != before
         transitive = {p for p in props if rng.random() < 0.4}
-        chains = []
-        if rng.random() < 0.7:
-            chains.append((rng.choice(props), rng.choice(props), rng.choice(props)))
+        # up to TWO chains: multi-chain schemas produce prefix+suffix
+        # rules on one stratum and mutually-recursive (generic) SCCs —
+        # the shapes the stratified scheduler must not get wrong
+        chains = [
+            (rng.choice(props), rng.choice(props), rng.choice(props))
+            for _ in range(rng.choice([0, 1, 1, 2]))
+        ]
         df = spark.createDataFrame(sorted(edges), ["s", "p", "o"])
         want = _py_property_saturation(edges, hierarchy, transitive, chains)
         # both execution regimes: driver saturation and distributed loop
-        for thr in ((2_000_000, 0) if trial < 3 else (2_000_000,)):
+        for thr in ((2_000_000, 0) if trial < 4 else (2_000_000,)):
             got = {
                 (r["s"], r["p"], r["o"])
                 for r in property_closure(
@@ -476,6 +480,125 @@ def test_property_closure_fuzz_vs_python(spark):
                 ).collect()
             }
             assert got == want, (trial, thr, sorted(got ^ want)[:6], transitive, chains)
+
+
+def test_linear_fixpoint_shapes(spark):
+    """The stratified scheduler's linear evaluator on the graph shapes
+    that stress each of its mechanisms: simple chains (no cleanse ever
+    fires), diamonds (path-multiplicity re-derivation -> adaptive
+    cleanse), cycles (termination only via cleanse), and a cap hit
+    (doubling fallback must still be exact)."""
+    from kbase_cdm_ontologies_spark.operators.closure import _linear_fixpoint
+    from kbase_cdm_ontologies_spark.plans.stats_cut import cut
+
+    def tc_py(edges):
+        adj = {}
+        for s, o in edges:
+            adj.setdefault(s, set()).add(o)
+        out = set()
+        for s in adj:
+            seen, stack = set(), list(adj[s])
+            while stack:
+                x = stack.pop()
+                if x not in seen:
+                    seen.add(x)
+                    stack.extend(adj.get(x, ()))
+            out |= {(s, o) for o in seen}
+        return out
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    diamond = [("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c"), ("c", "d")]
+    cycle = [("x", "y"), ("y", "z"), ("z", "x")]
+    for name, edges, cap in [
+        ("chain", chain, 48),
+        ("diamond", diamond, 48),
+        ("cycle", cycle, 48),
+        ("chain-cap-fallback", chain, 3),  # diameter 12 >> cap 3
+        ("cycle-cap-fallback", cycle, 1),
+    ]:
+        e = cut(spark.createDataFrame(sorted(edges), ["s", "o"]), eager=True)
+        n = e.count()
+        got_df, n_got = _linear_fixpoint(e, e, "suffix", n, n, op=name, cap=cap)
+        got = {(r["s"], r["o"]) for r in got_df.collect()}
+        want = tc_py(edges)
+        assert got == want, (name, sorted(got ^ want))
+        assert n_got == len(want), name
+
+    # prefix side: A* ∘ seed over a static prefix relation
+    pre = [("p0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    seed = [("p3", "t")]
+    e = cut(spark.createDataFrame(pre, ["s", "o"]), eager=True)
+    sd = cut(spark.createDataFrame(seed, ["s", "o"]), eager=True)
+    got_df, n_got = _linear_fixpoint(sd, e, "prefix", 1, 3, op="prefix")
+    got = {(r["s"], r["o"]) for r in got_df.collect()}
+    assert got == {("p3", "t"), ("p2", "t"), ("p1", "t"), ("p0", "t")}
+    assert n_got == 4
+
+
+def test_property_closure_stratified_shapes(spark):
+    """Deterministic schemas that hit every scheduler classification:
+    prefix-chain-into-transitive (the dense-scale shape), suffix
+    chains, static-static chain feeds, lifts into a transitive
+    property, and a mutually-recursive two-property SCC (generic)."""
+    from kbase_cdm_ontologies_spark.operators.closure import property_closure
+
+    cases = [
+        # dense-scale shape: po chains, po o li -> li, li transitive,
+        # po ⊑ overlaps inert
+        dict(
+            edges={("a", "part_of", "b"), ("b", "part_of", "c"),
+                   ("c", "located_in", "s1"), ("s1", "located_in", "s2")},
+            hierarchy={"part_of": {"part_of", "overlaps"}},
+            transitive={"part_of", "located_in"},
+            chains=[("part_of", "located_in", "located_in")],
+        ),
+        # suffix chain: li o po -> li (conclusion extends on the right)
+        dict(
+            edges={("a", "li", "b"), ("b", "po", "c"), ("c", "po", "d")},
+            hierarchy={},
+            transitive={"po"},
+            chains=[("li", "po", "li")],
+        ),
+        # static-static chain feeding a transitive target + lift into it
+        dict(
+            edges={("a", "p", "b"), ("b", "q", "c"), ("c", "r", "d"),
+                   ("x", "sub", "y")},
+            hierarchy={"sub": {"sub", "r"}},
+            transitive={"r"},
+            chains=[("p", "q", "r")],
+        ),
+        # mutually-recursive SCC: a o b ⊑ a and b o a ⊑ b
+        dict(
+            edges={("n1", "a", "n2"), ("n2", "b", "n3"), ("n3", "a", "n4"),
+                   ("n4", "b", "n1")},
+            hierarchy={},
+            transitive=set(),
+            chains=[("a", "b", "a"), ("b", "a", "b")],
+        ),
+        # prefix AND suffix on the same property, not transitive:
+        # language A* E0 B* without the closure
+        dict(
+            edges={("m1", "A", "m2"), ("m2", "E", "m3"), ("m3", "B", "m4"),
+                   ("m4", "B", "m5")},
+            hierarchy={},
+            transitive=set(),
+            chains=[("A", "E", "E"), ("E", "B", "E")],
+        ),
+    ]
+    for i, case in enumerate(cases):
+        want = _py_property_saturation(
+            case["edges"], case["hierarchy"], case["transitive"], case["chains"]
+        )
+        df = spark.createDataFrame(sorted(case["edges"]), ["s", "p", "o"])
+        for thr in (2_000_000, 0):
+            got = {
+                (r["s"], r["p"], r["o"])
+                for r in property_closure(
+                    df, case["hierarchy"], case["transitive"], case["chains"],
+                    local_threshold=thr,
+                ).collect()
+            }
+            assert got == want, (i, thr, sorted(got ^ want)[:8])
 
 
 def test_property_closure_union_rule_fuzz(spark):
