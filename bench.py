@@ -484,6 +484,216 @@ def run_entail_scale(master: str | None, n_classes: int = 204_800) -> dict:
     }
 
 
+def _stage_skew_report(spark, top: int = 5) -> list[dict] | None:
+    """Straggler evidence from Spark's REST status API: for the `top`
+    completed stages by total executor run time, report task count and
+    the median/p75/max task durations. A healthy (non-straggler) stage
+    has max within a small factor of the median; one hot task shows up
+    as max >> p75. Returns None when the UI is disabled (the engine
+    default — callers opt in via extra_conf spark.ui.enabled=true)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+
+    def _get(path):
+        with urllib.request.urlopen(f"{ui}/api/v1/{path}", timeout=30) as r:
+            return json.loads(r.read())
+
+    try:
+        app_id = _get("applications")[0]["id"]
+        stages = _get(f"applications/{app_id}/stages?status=complete")
+        stages.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+        out = []
+        for st in stages[:top]:
+            q = _get(
+                f"applications/{app_id}/stages/{st['stageId']}/"
+                f"{st['attemptId']}/taskSummary?quantiles=0.5,0.75,1.0"
+            )
+            med, p75, mx = (round(v / 1000.0, 2) for v in q["duration"])
+            out.append(
+                {
+                    "stage": st["stageId"],
+                    "name": st.get("name", "")[:60],
+                    "tasks": st.get("numCompleteTasks"),
+                    "task_sec_median": med,
+                    "task_sec_p75": p75,
+                    "task_sec_max": mx,
+                }
+            )
+        return out
+    except Exception as e:  # REST shape drift must not fail the bench
+        return [{"error": str(e)[:200]}]
+
+
+def run_taxon_scale(
+    master: str | None, n_chains: int = 64_000, chain_len: int = 32
+) -> dict:
+    """Production-shape entail() proof: ONE deep 2M-term taxonomy hub
+    dominating a merged ontology federation — the reference's
+    production pain point (its README: one >2M-term taxonomy forces a
+    1-1.5 TB-RAM node and a 4-24 h ROBOT+relation-graph run; see
+    /root/reference/README.md). All inputs derive from spark.range.
+
+    Shape (defaults → 2,048,000 taxa / ~4.9M statements):
+      - taxonomy: n_chains lineage chains of chain_len subclass edges,
+        chain roots attached to a 2,000-genus layer with HALF of all
+        roots under genus 0 (the NCBITaxon-style hub), genera under a
+        10-deep rank backbone — max subclass depth ~44, so the closure
+        (~56M pairs) must run the distributed frontier-doubling TC.
+      - an anatomy module of 160k terms in part_of restriction chains
+        (transitive, ⊑ overlaps), exercising the existential rule at
+        federation scale.
+      - located_in restrictions on every lineage foot into mid-chain
+        anatomy nodes + a located_in∘part_of→located_in chain axiom
+        (rdf-list encoded), so the property stage compiles to LINEAR
+        strata under plans/stratify.py — the evaluator whose per-round
+        shuffle is O(frontier + static edges).
+    Semantics gates live in tests; this measures the composition's
+    throughput and captures per-stage task quantiles as the
+    no-straggler evidence."""
+    from pyspark.sql import functions as F
+
+    from kbase_cdm_ontologies_spark.operators.closure import entail
+    from kbase_cdm_ontologies_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="taxon-scale",
+        master=master,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    n_taxa = n_chains * chain_len
+    n_genera = 2_000
+    n_anat = 160_000
+    anat_chain = 10
+
+    def as_statements(df):
+        return df.select(
+            F.col("subject").alias("stanza"), "subject", "predicate", "object",
+            F.lit(None).cast("string").alias("value"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("language"),
+            F.lit(None).cast("string").alias("graph"),
+        )
+
+    def tx(col):
+        return F.concat(F.lit("TX:"), F.lpad(col.cast("string"), 8, "0"))
+
+    ids = spark.range(n_taxa)
+    chain_id = F.col("id") / chain_len
+    pos = F.col("id") % chain_len
+    # within a lineage: child ⊑ previous node; chain roots ⊑ genus —
+    # half of ALL roots under the single hub genus GE:0000
+    genus_of_root = F.when(chain_id < n_chains // 2, F.lit("GE:0000")).otherwise(
+        F.concat(
+            F.lit("GE:"),
+            F.lpad((1 + chain_id.cast("long") % (n_genera - 1)).cast("string"), 4, "0"),
+        )
+    )
+    taxa_sub = ids.select(
+        tx(F.col("id")).alias("subject"),
+        F.lit("rdfs:subClassOf").alias("predicate"),
+        F.when(pos != 0, tx(F.col("id") - 1)).otherwise(genus_of_root).alias("object"),
+    )
+    genera = spark.range(n_genera)
+    genus_term = F.concat(F.lit("GE:"), F.lpad(F.col("id").cast("string"), 4, "0"))
+    genus_sub = genera.select(
+        genus_term.alias("subject"),
+        F.lit("rdfs:subClassOf").alias("predicate"),
+        F.concat(F.lit("BB:"), (F.col("id") % 10).cast("string")).alias("object"),
+    )
+    backbone = spark.range(10)
+    bb_term = F.concat(F.lit("BB:"), F.col("id").cast("string"))
+    bb_sub = backbone.where(F.col("id") > 0).select(
+        bb_term.alias("subject"),
+        F.lit("rdfs:subClassOf").alias("predicate"),
+        F.concat(F.lit("BB:"), (F.col("id") - 1).cast("string")).alias("object"),
+    )
+    decls = (
+        ids.select(tx(F.col("id")).alias("subject"))
+        .unionByName(genera.select(genus_term.alias("subject")))
+        .unionByName(backbone.select(bb_term.alias("subject")))
+        .select(
+            "subject",
+            F.lit("rdf:type").alias("predicate"),
+            F.lit("owl:Class").alias("object"),
+        )
+    )
+
+    # anatomy module: part_of restriction chains (a ⊑ ∃part_of.(a-1))
+    def an(col):
+        return F.concat(F.lit("AN:"), F.lpad(col.cast("string"), 6, "0"))
+
+    anat = spark.range(n_anat)
+    anat_decls = anat.select(
+        an(F.col("id")).alias("subject"),
+        F.lit("rdf:type").alias("predicate"),
+        F.lit("owl:Class").alias("object"),
+    )
+    anat_body = anat.where((F.col("id") % anat_chain) != 0)
+    pr_bn = F.concat(F.lit("_:pr"), F.col("id").cast("string"))
+    anat_restr = (
+        anat_body.select(an(F.col("id")).alias("subject"), F.lit("rdfs:subClassOf").alias("predicate"), pr_bn.alias("object"))
+        .unionByName(anat_body.select(pr_bn.alias("subject"), F.lit("owl:onProperty").alias("predicate"), F.lit("RO:part").alias("object")))
+        .unionByName(anat_body.select(pr_bn.alias("subject"), F.lit("owl:someValuesFrom").alias("predicate"), an(F.col("id") - 1).alias("object")))
+    )
+    # every lineage foot ⊑ ∃located_in.(mid-chain anatomy node) —
+    # the chain axiom then ascends each foot to the node's part_of cone
+    feet = ids.where(pos == chain_len - 1)
+    li_bn = F.concat(F.lit("_:li"), F.col("id").cast("string"))
+    li_target = an((chain_id.cast("long") % (n_anat // anat_chain)) * anat_chain + 7)
+    li_restr = (
+        feet.select(tx(F.col("id")).alias("subject"), F.lit("rdfs:subClassOf").alias("predicate"), li_bn.alias("object"))
+        .unionByName(feet.select(li_bn.alias("subject"), F.lit("owl:onProperty").alias("predicate"), F.lit("RO:loc").alias("object")))
+        .unionByName(feet.select(li_bn.alias("subject"), F.lit("owl:someValuesFrom").alias("predicate"), li_target.alias("object")))
+    )
+    schema_rows = spark.createDataFrame(
+        [
+            ("RO:part", "rdf:type", "owl:ObjectProperty"),
+            ("RO:part", "rdf:type", "owl:TransitiveProperty"),
+            ("RO:part", "rdfs:subPropertyOf", "RO:overlaps"),
+            ("RO:overlaps", "rdf:type", "owl:ObjectProperty"),
+            ("RO:loc", "rdf:type", "owl:ObjectProperty"),
+            ("RO:loc", "rdf:type", "owl:TransitiveProperty"),
+            # located_in ∘ part_of → located_in (rdf-list encoded)
+            ("RO:loc", "owl:propertyChainAxiom", "_:cl1"),
+            ("_:cl1", "rdf:first", "RO:loc"),
+            ("_:cl1", "rdf:rest", "_:cl2"),
+            ("_:cl2", "rdf:first", "RO:part"),
+            ("_:cl2", "rdf:rest", "rdf:nil"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    statements = as_statements(
+        taxa_sub.unionByName(genus_sub).unionByName(bb_sub).unionByName(decls)
+        .unionByName(anat_decls).unionByName(anat_restr).unionByName(li_restr)
+        .unionByName(schema_rows)
+    )
+    class_nodes = (
+        ids.select(tx(F.col("id")).alias("id"))
+        .unionByName(genera.select(genus_term.alias("id")))
+        .unionByName(backbone.select(bb_term.alias("id")))
+        .unionByName(anat.select(an(F.col("id")).alias("id")))
+    )
+    n_statements = int(statements.count())
+    t0 = time.time()
+    edges = entail(statements, class_nodes)
+    n_edges = edges.count()
+    sec = round(time.time() - t0, 2)
+    return {
+        "taxa": n_taxa,
+        "classes": n_taxa + n_genera + 10 + n_anat,
+        "statements": n_statements,
+        "max_subclass_depth": chain_len + 12,
+        "entailed_edges": int(n_edges),
+        "sec": sec,
+        "edges_per_sec": round(n_edges / sec),
+        "regime": "distributed subclass TC (2.05M edges >> localThreshold) + stratified linear property fixpoints",
+        "stage_task_quantiles": _stage_skew_report(spark),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
@@ -491,6 +701,7 @@ def main() -> int:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--graph-scale", action="store_true")
     ap.add_argument("--entail-scale", action="store_true")
+    ap.add_argument("--taxon-scale", action="store_true")
     ap.add_argument("--dense-scale", action="store_true")
     ap.add_argument("--dense-skew", action="store_true")
     ap.add_argument("--pages", type=int, default=int(os.environ.get("BENCH_PAGES", "5000")))
@@ -508,6 +719,9 @@ def main() -> int:
         return 0
     if args.entail_scale:
         print(json.dumps(run_entail_scale(args.master)))
+        return 0
+    if args.taxon_scale:
+        print(json.dumps(run_taxon_scale(args.master)))
         return 0
     if args.dense_scale:
         print(json.dumps(run_dense_scale(args.master)))
