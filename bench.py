@@ -694,6 +694,161 @@ def run_taxon_scale(
     }
 
 
+def _inc_corpus(
+    spark, n_chains: int, chain_len: int, n_anat: int,
+    chain0: int = 0, with_schema: bool = True, n_genera: int = 500,
+    anat_chain: int = 10,
+):
+    """Taxonomy-shaped statement subset for the incremental bench:
+    lineage chains [chain0, chain0+n_chains) of subclass edges rooted
+    under a shared genus layer, plus located_in restrictions from every
+    lineage foot into the shared anatomy module. chain0>0 generates a
+    DELTA that grafts new lineages into the base corpus (new sources
+    referencing old terms — the add-an-ontology shape). Returns
+    (statements(3 col), class_nodes)."""
+    from pyspark.sql import functions as F
+
+    def tx(col):
+        return F.concat(F.lit("TX:"), F.lpad(col.cast("string"), 8, "0"))
+
+    def an(col):
+        return F.concat(F.lit("AN:"), F.lpad(col.cast("string"), 6, "0"))
+
+    n_taxa = n_chains * chain_len
+    ids = spark.range(chain0 * chain_len, chain0 * chain_len + n_taxa)
+    chain_id = (F.col("id") / chain_len).cast("long")
+    pos = F.col("id") % chain_len
+    genus = F.concat(
+        F.lit("GE:"), F.lpad((chain_id % n_genera).cast("string"), 4, "0")
+    )
+    taxa_sub = ids.select(
+        tx(F.col("id")).alias("subject"),
+        F.lit("rdfs:subClassOf").alias("predicate"),
+        F.when(pos != 0, tx(F.col("id") - 1)).otherwise(genus).alias("object"),
+    )
+    decls = ids.select(
+        tx(F.col("id")).alias("subject"),
+        F.lit("rdf:type").alias("predicate"),
+        F.lit("owl:Class").alias("object"),
+    )
+    # every lineage foot ⊑ ∃located_in.(mid-chain anatomy node)
+    feet = ids.where(pos == chain_len - 1)
+    li_bn = F.concat(F.lit("_:li"), F.col("id").cast("string"))
+    li_target = an((chain_id % (n_anat // anat_chain)) * anat_chain + 7)
+    li_restr = (
+        feet.select(tx(F.col("id")).alias("subject"), F.lit("rdfs:subClassOf").alias("predicate"), li_bn.alias("object"))
+        .unionByName(feet.select(li_bn.alias("subject"), F.lit("owl:onProperty").alias("predicate"), F.lit("RO:loc").alias("object")))
+        .unionByName(feet.select(li_bn.alias("subject"), F.lit("owl:someValuesFrom").alias("predicate"), li_target.alias("object")))
+    )
+    st = taxa_sub.unionByName(decls).unionByName(li_restr)
+    cn = ids.select(tx(F.col("id")).alias("id"))
+    if with_schema:
+        genera = spark.range(n_genera)
+        genus_term = F.concat(F.lit("GE:"), F.lpad(F.col("id").cast("string"), 4, "0"))
+        genus_rows = genera.select(
+            genus_term.alias("subject"),
+            F.lit("rdf:type").alias("predicate"),
+            F.lit("owl:Class").alias("object"),
+        )
+        anat = spark.range(n_anat)
+        anat_decls = anat.select(
+            an(F.col("id")).alias("subject"),
+            F.lit("rdf:type").alias("predicate"),
+            F.lit("owl:Class").alias("object"),
+        )
+        anat_body = anat.where((F.col("id") % anat_chain) != 0)
+        pr_bn = F.concat(F.lit("_:pr"), F.col("id").cast("string"))
+        anat_restr = (
+            anat_body.select(an(F.col("id")).alias("subject"), F.lit("rdfs:subClassOf").alias("predicate"), pr_bn.alias("object"))
+            .unionByName(anat_body.select(pr_bn.alias("subject"), F.lit("owl:onProperty").alias("predicate"), F.lit("RO:part").alias("object")))
+            .unionByName(anat_body.select(pr_bn.alias("subject"), F.lit("owl:someValuesFrom").alias("predicate"), an(F.col("id") - 1).alias("object")))
+        )
+        schema_rows = spark.createDataFrame(
+            [
+                ("RO:part", "rdf:type", "owl:TransitiveProperty"),
+                ("RO:part", "rdfs:subPropertyOf", "RO:overlaps"),
+                ("RO:loc", "rdf:type", "owl:TransitiveProperty"),
+                ("RO:loc", "owl:propertyChainAxiom", "_:cl1"),
+                ("_:cl1", "rdf:first", "RO:loc"),
+                ("_:cl1", "rdf:rest", "_:cl2"),
+                ("_:cl2", "rdf:first", "RO:part"),
+                ("_:cl2", "rdf:rest", "rdf:nil"),
+            ],
+            ["subject", "predicate", "object"],
+        )
+        st = st.unionByName(genus_rows).unionByName(anat_decls).unionByName(anat_restr).unionByName(schema_rows)
+        cn = cn.unionByName(genera.select(genus_term.alias("id"))).unionByName(
+            anat.select(an(F.col("id")).alias("id"))
+        )
+    return st, cn
+
+
+def run_incremental(
+    master: str | None, n_chains: int = 16_000, chain_len: int = 32,
+    delta_chains: int = 320,
+) -> dict:
+    """Incremental entailment maintenance vs full recompute (the
+    reference's only option — version_tracker.py re-runs the whole
+    ROBOT/relation-graph pipeline when any source checksum changes).
+    Base: a 512k-term taxonomy + 40k-term anatomy federation. Delta:
+    ~2% new lineage chains grafting into old genera and old anatomy.
+    Measures full entail() on the union vs entail_delta() from the
+    saved base state, asserts both edge sets are identical (count +
+    order-invariant content hash), and reports the speedup."""
+    from pyspark.sql import functions as F
+
+    from kbase_cdm_ontologies_spark.operators.closure import entail
+    from kbase_cdm_ontologies_spark.operators.delta_entail import (
+        entail_delta,
+        entail_with_state,
+    )
+    from kbase_cdm_ontologies_spark.session import get_spark
+
+    spark = get_spark(app_name="incremental-bench", master=master)
+    n_anat = 40_000
+    base_st, base_cn = _inc_corpus(spark, n_chains, chain_len, n_anat)
+    delta_st, delta_cn = _inc_corpus(
+        spark, delta_chains, chain_len, n_anat,
+        chain0=n_chains, with_schema=False,
+    )
+    union_st = base_st.unionByName(delta_st)
+    union_cn = base_cn.unionByName(delta_cn)
+    n_base = int(base_st.count())
+    n_delta = int(delta_st.count())
+
+    t0 = time.time()
+    _, state = entail_with_state(base_st, base_cn)
+    build_sec = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    full_edges = entail(union_st, union_cn)
+    n_full = int(full_edges.count())
+    full_sec = round(time.time() - t0, 2)
+    h_full = full_edges.select(
+        F.sum(F.xxhash64("subject", "predicate", "object").cast("decimal(38,0)")).alias("h")
+    ).collect()[0]["h"]
+
+    t0 = time.time()
+    inc_edges, _ = entail_delta(state, delta_st, delta_cn)
+    n_inc = int(inc_edges.count())
+    h_inc = inc_edges.select(
+        F.sum(F.xxhash64("subject", "predicate", "object").cast("decimal(38,0)")).alias("h")
+    ).collect()[0]["h"]
+    inc_sec = round(time.time() - t0, 2)
+
+    return {
+        "base_statements": n_base,
+        "delta_statements": n_delta,
+        "delta_pct": round(100.0 * n_delta / n_base, 2),
+        "entailed_edges": n_full,
+        "base_build_sec": build_sec,
+        "full_recompute_sec": full_sec,
+        "incremental_sec": inc_sec,
+        "speedup": round(full_sec / inc_sec, 1),
+        "match": bool(n_full == n_inc and h_full == h_inc),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
@@ -702,6 +857,7 @@ def main() -> int:
     ap.add_argument("--graph-scale", action="store_true")
     ap.add_argument("--entail-scale", action="store_true")
     ap.add_argument("--taxon-scale", action="store_true")
+    ap.add_argument("--incremental", action="store_true")
     ap.add_argument("--dense-scale", action="store_true")
     ap.add_argument("--dense-skew", action="store_true")
     ap.add_argument("--pages", type=int, default=int(os.environ.get("BENCH_PAGES", "5000")))
@@ -722,6 +878,9 @@ def main() -> int:
         return 0
     if args.taxon_scale:
         print(json.dumps(run_taxon_scale(args.master)))
+        return 0
+    if args.incremental:
+        print(json.dumps(run_incremental(args.master)))
         return 0
     if args.dense_scale:
         print(json.dumps(run_dense_scale(args.master)))

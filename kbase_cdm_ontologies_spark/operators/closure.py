@@ -121,6 +121,9 @@ def _seminaive_closure(
     return_new: bool = False,
     consolidate: bool | str = False,
     n_input: int | None = None,
+    anti_prefilter: bool = False,
+    n_delta_input: int | None = None,
+    broadcast_rows: int = 200_000,
 ):
     """Semi-naive (frontier) transitive-closure rounds: each round joins
     only the FRONTIER (pairs first discovered last round) against the
@@ -151,7 +154,19 @@ def _seminaive_closure(
     (exactly the pairs in the result but not in the input c) — callers
     embedding this closure in an outer fixpoint consume ONLY the new
     pairs, so closure-sized frames never flow through the outer loop's
-    dedup/expand/anti-join stages."""
+    dedup/expand/anti-join stages.
+
+    anti_prefilter=True switches to the INCREMENTAL-extension cost
+    model (delta ≪ c, e.g. entail_delta grafting a small source into a
+    saturated closure): the per-round anti-join first prunes c by a
+    broadcast semi-join on the hop output's key set, so the closure is
+    only ever SCANNED (no shuffle of |C| per round), and the
+    accumulated c grows by plain unions instead of per-round lazy
+    re-checkpoints (which would copy the whole closure through the
+    block manager every round). Identical result set — only the
+    physical plan changes. Leave False for from-scratch closures,
+    where the hop output is closure-sized and the broadcast would
+    blow up."""
     cols = (["p"] if keyed else []) + ["s", "o"]
 
     def hop_join(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -170,7 +185,9 @@ def _seminaive_closure(
     debug = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
     news: list[DataFrame] = []
     owned: list[DataFrame] = []  # checkpoints created here — bounded cache
-    n_delta: int | None = None  # prior round's frontier count
+    # prior round's frontier count; callers that already counted their
+    # initial frontier pass it so round 0 gets the broadcast-hint path
+    n_delta: int | None = n_delta_input
     # n_input (when the caller knows it) sizes per-round shuffles to
     # the relation, not the session default — see plans/loop_tuning.py
     n_c = n_input
@@ -179,7 +196,8 @@ def _seminaive_closure(
         return _seminaive_rounds(
             c, delta, keyed, keep_self, max_rounds, both_sides, op,
             return_new, consolidate, cols, hop_join, debug, _time,
-            news, owned, n_delta, n_c, tuner,
+            news, owned, n_delta, n_c, tuner, anti_prefilter,
+            broadcast_rows,
         )
     finally:
         tuner.restore()
@@ -188,7 +206,8 @@ def _seminaive_closure(
 def _seminaive_rounds(
     c, delta, keyed, keep_self, max_rounds, both_sides, op,
     return_new, consolidate, cols, hop_join, debug, _time,
-    news, owned, n_delta, n_c, tuner,
+    news, owned, n_delta, n_c, tuner, anti_prefilter=False,
+    broadcast_rows=200_000,
 ):
     for rnd_i in range(max_rounds):
         t0 = _time.time()
@@ -204,7 +223,7 @@ def _seminaive_rounds(
         # session's 64 MB broadcast budget with headroom for long IRIs
         d_side = (
             F.broadcast(delta)
-            if n_delta is not None and n_delta <= 200_000
+            if n_delta is not None and n_delta <= broadcast_rows
             else delta
         )
         hop = hop_join(d_side, c)
@@ -212,9 +231,23 @@ def _seminaive_rounds(
             hop = hop.unionByName(hop_join(c, d_side))
         if not keep_self:
             hop = hop.where(F.col("s") != F.col("o"))
-        delta = _statscut(
-            hop.dropDuplicates().join(c, cols, "left_anti")
-        )
+        if anti_prefilter:
+            # incremental mode: materialize the (cone-sized) hop once,
+            # prune c to the hop's key slice via broadcast semi, and
+            # anti-join cone-vs-slice — c is scanned, never shuffled
+            hop_m = _statscut(hop.dropDuplicates(), eager=True)
+            key_cols = (["p"] if keyed else []) + ["s"]
+            c_slice = c.join(
+                F.broadcast(hop_m.select(*key_cols).distinct()),
+                key_cols,
+                "left_semi",
+            )
+            delta = _statscut(hop_m.join(c_slice, cols, "left_anti"))
+            owned.append(hop_m)
+        else:
+            delta = _statscut(
+                hop.dropDuplicates().join(c, cols, "left_anti")
+            )
         n_delta = delta.count()
         if n_c is not None:
             n_c += n_delta
@@ -252,8 +285,14 @@ def _seminaive_rounds(
                     pass
             return (out_c, out_new) if return_new else out_c
         # disjoint by construction (anti-join) — no dedup needed here
-        c = _statscut(c.unionByName(delta))
-        owned += [delta, c]
+        if anti_prefilter:
+            # plain union: c's parents are cut frames, re-cutting the
+            # union would copy the whole closure per round
+            c = c.unionByName(delta)
+            owned.append(delta)
+        else:
+            c = _statscut(c.unionByName(delta))
+            owned += [delta, c]
         news.append(delta)
     raise RuntimeError(f"{op}: no fixpoint in {max_rounds} frontier rounds")
 
@@ -681,6 +720,7 @@ def _local_property_saturation(
     transitive: set[str],
     chains: list[tuple[str, str, str]],
     union_members: dict[str, list[str]] | None = None,
+    keep_steps: bool = False,
 ) -> set[tuple]:
     """Interning wrapper around the saturation core: every node and
     property string maps to a dense int before the fixpoint and back
@@ -719,7 +759,8 @@ def _local_property_saturation(
         if isinstance(k, str) and k.startswith("_:step_")
     }
     out_i = _local_property_saturation_core(
-        links_i, hier_i, trans_i, chains_i, um_i, step_i
+        links_i, hier_i, trans_i, chains_i, um_i,
+        set() if keep_steps else step_i,
     )
     rev = {v: k for k, v in interned.items()}
     return {(rev[s], rev[p], rev[o]) for s, p, o in out_i}
@@ -1120,7 +1161,9 @@ def _generic_property_fixpoint(
     union_df,
     card,
     max_rounds: int,
-) -> DataFrame:
+    seed_delta: DataFrame | None = None,
+    return_new: bool = False,
+):
     """Global semi-naive fixpoint over ALL property rules at once —
     the evaluator for mutually-recursive strata and for union-rule
     schemas (which defeat stratification; see plans/stratify.py). One
@@ -1129,8 +1172,22 @@ def _generic_property_fixpoint(
     derive from the same frontier, the raw derivations are lifted,
     deduped once, and anti-joined against the accumulated set.
 
+    seed_delta: warm-start frontier for INCREMENTAL maintenance — `r`
+    is then an already-saturated link set (closed under every rule,
+    step rows included) and only derivations involving seed_delta (or
+    later frontiers) run; the first round starts in non-scratch mode
+    so the delta composes on BOTH premise sides. Warm mode also
+    switches to the incremental cost model: the per-round anti-join
+    prunes r by a broadcast semi on the frontier's subject slice (r is
+    scanned, never shuffled), and r accumulates by plain unions over
+    its cut parents instead of per-round full-relation re-checkpoints.
+
+    return_new=True additionally returns the union of every round's
+    frontier (exactly the derived-pairs delta vs the input r) — the
+    warm caller's output delta, with no closure-sized anti-join.
+
     Returns the closed frame (synthetic ``_:step_*`` chain-step rows
-    RETAINED — the caller filters them with its final projection)."""
+    RETAINED — the caller filters them with its final projection))."""
     import os as _os
     import time as _time
 
@@ -1148,15 +1205,46 @@ def _generic_property_fixpoint(
         if lift_rows
         else None
     )
-    if h_active is not None:
-        r = r.unionByName(
-            r.join(h_active, "p").select("s", F.col("q").alias("p"), "o")
-        ).dropDuplicates()
-    r = _statscut(r, eager=True)
-    n_r = r.count()  # seeds the shuffle tuner + broadcast decisions
-    delta = r  # round 1 runs from scratch: the whole set is the frontier
-    n_delta: int | None = None
-    scratch = True
+    warm = seed_delta is not None
+    news: list[DataFrame] = []
+    if seed_delta is None:
+        if h_active is not None:
+            r = r.unionByName(
+                r.join(h_active, "p").select("s", F.col("q").alias("p"), "o")
+            ).dropDuplicates()
+        r = _statscut(r, eager=True)
+        n_r = r.count()  # seeds the shuffle tuner + broadcast decisions
+        delta = r  # round 1 runs from scratch: whole set is the frontier
+        n_delta: int | None = None
+        scratch = True
+    else:
+        # warm start: r is already closed under every rule (lift
+        # included); lift ONLY the incoming delta, drop what's known
+        # (cone-vs-slice anti: r pruned by a broadcast semi on the
+        # delta's subjects — r is scanned, never shuffled or copied),
+        # and fold the remainder into r so delta ⊆ r holds
+        if h_active is not None:
+            seed_delta = seed_delta.unionByName(
+                seed_delta.join(h_active, "p").select(
+                    "s", F.col("q").alias("p"), "o"
+                )
+            )
+        r_slice = r.join(
+            F.broadcast(seed_delta.select("s").distinct()), "s", "left_semi"
+        )
+        delta = _statscut(
+            seed_delta.dropDuplicates().join(
+                r_slice, ["s", "p", "o"], "left_anti"
+            ),
+            eager=True,
+        )
+        n_delta = delta.count()
+        r = r.unionByName(delta)
+        n_r = None  # never counted: warm rounds tune by the frontier
+        scratch = False
+        if n_delta == 0:
+            return (r, delta) if return_new else r
+        news.append(delta)
     # flat rounds interleave chain depth WITH log2(transitive diameter)
     # instead of multiplying them; 64 covers diameter 2^64 of pure
     # transitivity or 64 chain/union alternations — far past any real
@@ -1166,7 +1254,7 @@ def _generic_property_fixpoint(
     try:
         for rnd in range(flat_rounds):
             t0 = _time.time()
-            tuner.tune(n_r)
+            tuner.tune(n_delta if warm else n_r)
             d_small = n_delta is not None and n_delta <= 200_000
             parts: list[DataFrame] = []
             if transitive:
@@ -1215,13 +1303,25 @@ def _generic_property_fixpoint(
                     new.join(h_active, "p").select("s", F.col("q").alias("p"), "o")
                 )
             prev_delta = delta if rnd > 0 else None
-            delta = _statscut(
-                new.dropDuplicates().join(r, ["s", "p", "o"], "left_anti")
-            )
+            if warm:
+                # incremental cost model: frontier is cone-sized —
+                # materialize it once, anti-join against r's pruned
+                # subject slice (broadcast semi), never shuffle r
+                new_m = _statscut(new.dropDuplicates(), eager=True)
+                r_slice = r.join(
+                    F.broadcast(new_m.select("s").distinct()), "s", "left_semi"
+                )
+                delta = _statscut(new_m.join(r_slice, ["s", "p", "o"], "left_anti"))
+            else:
+                delta = _statscut(
+                    new.dropDuplicates().join(r, ["s", "p", "o"], "left_anti")
+                )
             n_delta = delta.count()
             # the superseded frontier was folded into r at the END of
-            # last round (eager union), so its blocks are dead now
-            if prev_delta is not None:
+            # last round (eager union), so its blocks are dead now —
+            # except in warm mode, where r references every frontier
+            # through its plain-union lineage
+            if prev_delta is not None and not warm:
                 try:
                     prev_delta.unpersist()
                 except Exception:
@@ -1230,6 +1330,14 @@ def _generic_property_fixpoint(
                 print(f"[pc] flat round {rnd} delta={n_delta} "
                       f"{_time.time() - t0:.1f}s", flush=True)
             if n_delta == 0:
+                if warm:
+                    out_new = None
+                    if return_new:
+                        out_new = news[0] if news else delta.limit(0)
+                        for d in news[1:]:
+                            out_new = out_new.unionByName(d)
+                        out_new = _statscut(out_new, eager=True)
+                    return (r, out_new) if return_new else r
                 out = _statscut(r, eager=True)
                 for f in (r, delta):
                     try:
@@ -1237,13 +1345,18 @@ def _generic_property_fixpoint(
                     except Exception:
                         pass
                 return out
-            n_r += n_delta
+            if n_r is not None:
+                n_r += n_delta
             old_r = r
-            r = _statscut(r.unionByName(delta), eager=True)
-            try:
-                old_r.unpersist()
-            except Exception:
-                pass
+            if warm:
+                r = r.unionByName(delta)
+                news.append(delta)
+            else:
+                r = _statscut(r.unionByName(delta), eager=True)
+                try:
+                    old_r.unpersist()
+                except Exception:
+                    pass
             scratch = False
     finally:
         tuner.restore()
@@ -1259,6 +1372,7 @@ def property_closure(
     max_rounds: int = 10,
     local_threshold: int | None = None,
     driver_max_bytes: int = 256 << 20,
+    keep_steps: bool = False,
 ) -> DataFrame:
     """Saturate (s, p, o) existential edges under the EL property rules:
 
@@ -1343,6 +1457,7 @@ def property_closure(
                 _pphase("collect")
                 closed = _local_property_saturation(
                     rows_in, hierarchy, transitive, chains, union_members,
+                    keep_steps=keep_steps,
                 )
                 _pphase("saturate")
                 # sorted: set-iteration order varies with string
@@ -1445,7 +1560,7 @@ def property_closure(
             new = _statscut(expand_hierarchy(new.dropDuplicates()))
             new = new.unionByName(compose_chains_delta(new, new, scratch=True))
         out = expand_hierarchy(new.dropDuplicates())
-        return out.where(~F.col("p").startswith("_:step_"))
+        return out if keep_steps else out.where(~F.col("p").startswith("_:step_"))
 
     # ---- stratified distributed evaluation (round 5) ----
     # Compile the rule set into an SCC-condensed schedule and evaluate
@@ -1463,7 +1578,9 @@ def property_closure(
             spark, r, transitive, chains, hier_rows, union_df, card,
             max_rounds,
         )
-        return closed.where(~F.col("p").startswith("_:step_"))
+        return closed if keep_steps else closed.where(
+            ~F.col("p").startswith("_:step_")
+        )
 
     link_frames: list[DataFrame] = [r]
 
@@ -1673,7 +1790,9 @@ def property_closure(
             pending_concl |= set(st.props)
     flush_pending()
 
-    out = links_slice(set()).where(~F.col("p").startswith("_:step_"))
+    out = links_slice(set())
+    if not keep_steps:
+        out = out.where(~F.col("p").startswith("_:step_"))
     if sched.inert_lifts:
         h_i = F.broadcast(
             spark.createDataFrame(sched.inert_lifts, ["p", "q"])
@@ -1928,10 +2047,45 @@ def restriction_nodes(pruned: DataFrame) -> DataFrame:
     return on_prop.join(some_from, "a")
 
 
+def _domain_edges(
+    pruned: DataFrame, hierarchy: dict[str, set[str]], restr: DataFrame
+) -> DataFrame:
+    """Static domain-rule edge set: every restriction node ∃p.C is a
+    subclass of domain(q) for q ∈ supers*(p) (Whelk semantics — see the
+    call-site comment in entail()). Both driver tables are schema-scale
+    (collected + broadcast back, the dictionary pattern). Shared by
+    entail() and the delta-maintenance path so the rule cannot drift
+    between full and incremental recompute."""
+    dom_rows = pruned.where(F.col("predicate") == "rdfs:domain").select(
+        F.col("subject").alias("prop"), F.col("object").alias("dom")
+    ).collect()
+    doms_of: dict[str, list[str]] = {}
+    for row in dom_rows:
+        doms_of.setdefault(row["prop"], []).append(row["dom"])
+    restr_props = {row["prop"] for row in restr.select("prop").distinct().collect()}
+    dom_exp = sorted({
+        (p, d)
+        for p in restr_props
+        for q in (hierarchy.get(p, set()) | {p})
+        for d in doms_of.get(q, ())
+    })
+    if dom_exp:
+        dom_exp_df = F.broadcast(
+            pruned.sparkSession.createDataFrame(dom_exp, ["prop", "dom"])
+        )
+        return restr.join(dom_exp_df, "prop").select(
+            F.col("a").alias("s"), F.col("dom").alias("o")
+        )
+    return restr.limit(0).select(
+        F.col("a").alias("s"), F.col("c").alias("o")
+    )
+
+
 def entail(
     statements: DataFrame,
     class_nodes: DataFrame,
     property_local_threshold: int | None = None,
+    state_capture: dict | None = None,
 ) -> DataFrame:
     """Full entailment over (already canonicalized) statements ->
     edges(subject, predicate, object) — the engine's re-expression of
@@ -1949,7 +2103,13 @@ def entail(
     Anonymous class expressions (intersections, unions, nested
     restrictions) participate in the saturation as fresh nodes and are
     stripped from the output; owl:Thing rows are suppressed like
-    owl:Nothing (trivially-true edges)."""
+    owl:Nothing (trivially-true edges).
+
+    state_capture: pass a dict to capture the saturation's internal
+    fixpoints (pruned statements, augmented sub edges, rtc, restriction
+    table, property links WITH chain-step rows, type asserts, schema) —
+    the warm-start state operators/delta_entail.py resumes from when
+    new statements are added. Output is unchanged."""
     import os as _os
     import time as _time
 
@@ -1979,6 +2139,10 @@ def entail(
     # subPropertyOf hierarchy (dictionary-scale driver work)
     hierarchy, transitive, chains = property_schema(pruned)
     _phase("property_schema")
+    if state_capture is not None:
+        state_capture["pruned"] = pruned
+        state_capture["schema"] = (hierarchy, transitive, chains)
+        state_capture["class_nodes"] = class_nodes
     # subclass edges over ALL nodes (expression bnodes included) +
     # the EL normalization edges of anonymous expressions
     sub_all = pruned.where(
@@ -1997,31 +2161,8 @@ def entail(
     # the other 4 come from a nested filler ascending to the domain of
     # a SUPER-property of its onProperty. Both tables are schema-scale
     # (collected + broadcast back, the dictionary pattern).
-    dom_rows = pruned.where(F.col("predicate") == "rdfs:domain").select(
-        F.col("subject").alias("prop"), F.col("object").alias("dom")
-    ).collect()
-    doms_of: dict[str, list[str]] = {}
-    for row in dom_rows:
-        doms_of.setdefault(row["prop"], []).append(row["dom"])
     restr = _statscut(restriction_nodes(pruned))
-    restr_props = {row["prop"] for row in restr.select("prop").distinct().collect()}
-    dom_exp = sorted({
-        (p, d)
-        for p in restr_props
-        for q in (hierarchy.get(p, set()) | {p})
-        for d in doms_of.get(q, ())
-    })
-    if dom_exp:
-        dom_exp_df = F.broadcast(
-            pruned.sparkSession.createDataFrame(dom_exp, ["prop", "dom"])
-        )
-        domain_edges = restr.join(dom_exp_df, "prop").select(
-            F.col("a").alias("s"), F.col("dom").alias("o")
-        )
-    else:
-        domain_edges = restr.limit(0).select(
-            F.col("a").alias("s"), F.col("c").alias("o")
-        )
+    domain_edges = _domain_edges(pruned, hierarchy, restr)
     sub = (
         sub_all.unionByName(expr_edges)
         .unionByName(domain_edges)
@@ -2036,6 +2177,10 @@ def entail(
     else:
         tc = transitive_closure(sub)  # strict
     _phase("subclass_tc")
+    if state_capture is not None:
+        state_capture["sub"] = sub  # augmented: expr + domain + union-derived
+        state_capture["restr"] = restr
+        state_capture["union_membership"] = union_membership
     # reflexive rows: named classes (the --reflexive-subclasses output)
     # plus restriction nodes and fillers — the compose below needs
     # (bn ⊑ bn) / (c ⊑ c) so direct links and bn-filler hops both emit
@@ -2048,6 +2193,8 @@ def entail(
     )
     rtc = _statscut(tc.unionByName(refl).dropDuplicates(), eager=True)
     _phase("rtc_materialize")
+    if state_capture is not None:
+        state_capture["rtc"] = rtc
 
     named = ~F.col("s").startswith("_:") & ~F.col("o").startswith("_:")
     sub_out = (
@@ -2101,10 +2248,15 @@ def entail(
     # vs relation-graph's golden output; with interning it is also
     # redundant for recall (verified: recall 1.0 without it).
     _phase("pre_property")
-    prop_out = property_closure(
+    links_full = property_closure(
         base_prop, hierarchy, transitive, chains,
         local_threshold=property_local_threshold,
-    ).select(
+        keep_steps=state_capture is not None,
+    )
+    if state_capture is not None:
+        state_capture["links"] = links_full  # step rows retained
+        links_full = links_full.where(~F.col("p").startswith("_:step_"))
+    prop_out = links_full.select(
         F.col("s").alias("subject"),
         F.col("p").alias("predicate"),
         F.col("o").alias("object"),
@@ -2121,6 +2273,8 @@ def entail(
         .select(F.col("subject").alias("ind"), F.col("object").alias("cls"))
         .join(class_nodes.select(F.col("id").alias("cls")), "cls", "left_semi")
     )
+    if state_capture is not None:
+        state_capture["type_asserts"] = type_asserts
     ind_out = (
         type_asserts.join(rtc.select(F.col("s").alias("cls"), "o"), "cls")
         .select(
