@@ -35,6 +35,19 @@ from ..plans.loop_tuning import ShufflePartitionTuner
 from ..plans.stats_cut import cut as _statscut
 from ..plans.stratify import build_schedule, may_fire, merge_strata
 
+# per-phase wall clocks of the LAST entail()/property_closure() run —
+# cleared at entail() entry, attached to the pipeline's checkpoint
+# manifest (plans/pipeline.py m7_edges metrics) so a cluster operator
+# gets the phase breakdown without any env flag. The
+# SPARK_GRAFT_DEBUG_CLOSURE env only controls PRINTING.
+_PHASE_WALLS: dict[str, float] = {}
+
+
+def phase_walls() -> dict[str, float]:
+    """Copy of the last closure run's per-phase wall seconds."""
+    return dict(_PHASE_WALLS)
+
+
 LOGIC_PREDICATES = (
     "rdfs:subClassOf",
     "owl:equivalentClass",
@@ -1330,6 +1343,7 @@ def _generic_property_fixpoint(
                 print(f"[pc] flat round {rnd} delta={n_delta} "
                       f"{_time.time() - t0:.1f}s", flush=True)
             if n_delta == 0:
+                _PHASE_WALLS["property_closure.flat_rounds"] = rnd + 1
                 if warm:
                     out_new = None
                     if return_new:
@@ -1429,10 +1443,11 @@ def property_closure(
 
     def _pphase(name: str) -> None:
         nonlocal _tp
+        now = _time.time()
+        _PHASE_WALLS["property_closure." + name] = round(now - _tp, 3)
         if _dbg:
-            now = _time.time()
             print(f"[pc-driver] {name} {now - _tp:.1f}s", flush=True)
-            _tp = now
+        _tp = now
 
     _pphase("base_materialize")
     needs_fixpoint = bool(transitive or chains or union_members)
@@ -2115,13 +2130,15 @@ def entail(
 
     _dbg = bool(_os.environ.get("SPARK_GRAFT_DEBUG_CLOSURE"))
     _t = _time.time()
+    _PHASE_WALLS.clear()
 
     def _phase(name: str) -> None:
         nonlocal _t
+        now = _time.time()
+        _PHASE_WALLS["entail." + name] = round(now - _t, 3)
         if _dbg:
-            now = _time.time()
             print(f"[entail] {name} {now - _t:.1f}s", flush=True)
-            _t = now
+        _t = now
 
     # materialize the pruned+interned statements ONCE: property_schema,
     # expression_edges, the domain rule, restriction_nodes, and the

@@ -612,7 +612,22 @@ def entail_delta(
         F.col("p").alias("predicate"),
         F.col("o").alias("object"),
     )
-    out_d = (
+    # Only the INDIVIDUAL rows can collide with old output: a new
+    # (ind, cls) assert re-derives ancestors the individual already
+    # had through another class. The sub/prop families are new by
+    # construction — delta_r pairs are not in old rtc and links_d
+    # triples are not in old links, and their projections are the
+    # identity (assuming no ontology names a property "rdf:type" /
+    # "rdfs:subClassOf", which prune_for_closure's vocabulary already
+    # treats as reserved). Anti-joining the whole out_d against the
+    # corpus-sized edge table would add a full scan per delta.
+    ind_d = _anti_vs_big(
+        _statscut(ind_d.dropDuplicates(), eager=True),
+        state.edges.where(F.col("predicate") == "rdf:type"),
+        _SPO,
+        "subject",
+    )
+    out_d = _statscut(
         sub_out_d.unionByName(prop_out_d)
         .unionByName(ind_d)
         .where(
@@ -621,10 +636,8 @@ def entail_delta(
             & ~F.col("subject").isin("owl:Nothing", "owl:Thing")
             & ~F.col("object").isin("owl:Nothing", "owl:Thing")
         )
-        .dropDuplicates()
-    )
-    out_d = _anti_vs_big(
-        _statscut(out_d, eager=True), state.edges, _SPO, "subject"
+        .dropDuplicates(),
+        eager=True,
     )
     # plain unions, no re-checkpoint: every parent is already a cut
     # frame, so the new state frames are one-union-deep lineage over

@@ -64,6 +64,7 @@ class CheckpointManager:
         stage_code_hash: str,
         compute: Callable[[], DataFrame],
         partition_by: list[str] | None = None,
+        metrics_fn: Callable[[], dict] | None = None,
     ) -> DataFrame:
         out_path = os.path.join(self.root, name)
         entry = self.manifest.get(name)
@@ -100,6 +101,14 @@ class CheckpointManager:
             "snapshot_id": snap["snapshot_id"] if snap else None,
             "snapshot_sha": snap["content_sha"] if snap else None,
         }
+        if metrics_fn is not None:
+            # operator-reported metrics (e.g. closure.phase_walls():
+            # the entailment phase breakdown) — recorded so a cluster
+            # operator reads per-phase walls from the manifest instead
+            # of re-running with debug env flags
+            m = metrics_fn()
+            if m:
+                self.manifest[name]["metrics"] = m
         self._save()
         self.stages_run.append(name)
         return materialized

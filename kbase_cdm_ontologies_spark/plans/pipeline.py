@@ -85,11 +85,12 @@ def run_pipeline(
     """
     ck = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
 
-    def stage(name, deps_fp, fns, compute, partition_by=None):
+    def stage(name, deps_fp, fns, compute, partition_by=None, metrics_fn=None):
         if ck is None:
             return compute()
         return ck.stage(
-            name, deps_fp, code_hash(RULE_VERSION, *fns), compute, partition_by
+            name, deps_fp, code_hash(RULE_VERSION, *fns), compute, partition_by,
+            metrics_fn=metrics_fn,
         )
 
     fp0 = corpus_fingerprint
@@ -157,6 +158,9 @@ def run_pipeline(
         "m7_edges", fp3,
         [closure, canonicalize, class_node_ids],
         compute_edges,
+        # entailment phase walls land in the manifest: per-phase
+        # timings for the operator without SPARK_GRAFT_DEBUG_CLOSURE
+        metrics_fn=closure.phase_walls,
     )
     nodes = stage(
         "m7_nodes", fp3, [build_nodes, canonicalize],

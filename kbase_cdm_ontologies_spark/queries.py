@@ -1630,6 +1630,41 @@ def multimodal_image_features(spark, sf_dir):
     )
 
 
+# frame-sampling arithmetic is pure SQL (durations derived evenly so
+# Spark's truncating int cast and DuckDB's rounding cast agree exactly:
+# duration*fps is always integral)
+_FRAME_SAMPLE_ORACLE = """
+    SELECT CAST(d.doc_id AS VARCHAR) AS asset_id,
+           CAST(t.f AS BIGINT) AS frame_idx,
+           round(CAST(t.f AS DOUBLE) * 2.0, 3) AS t_offset_s
+    FROM documents d,
+         LATERAL (SELECT unnest(range(0, (d.n_chars % 60) + 1)) AS f) t
+"""
+
+
+@q("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (operators/multimodal.py:290):
+    each asset expands into the frame timestamps a decoder would pull
+    at fps=0.5, entirely JVM-side (sequence + explode). Durations are
+    synthesized deterministically from n_chars (always even, so
+    n_frames = duration*fps is exact in both engines)."""
+    from .operators.multimodal import frame_sample_plan
+
+    assets = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        (((F.col("n_chars") % 60) + 1) * 2).alias("duration_s"),
+    )
+    plan = frame_sample_plan(
+        assets, id_col="asset_id", duration_col="duration_s", fps=0.5
+    )
+    return plan.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("t_offset_s").cast("double").alias("t_offset_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
