@@ -824,17 +824,22 @@ def run_incremental(
     full_edges = entail(union_st, union_cn)
     n_full = int(full_edges.count())
     full_sec = round(time.time() - t0, 2)
-    h_full = full_edges.select(
-        F.sum(F.xxhash64("subject", "predicate", "object").cast("decimal(38,0)")).alias("h")
-    ).collect()[0]["h"]
 
     t0 = time.time()
     inc_edges, _ = entail_delta(state, delta_st, delta_cn)
     n_inc = int(inc_edges.count())
-    h_inc = inc_edges.select(
-        F.sum(F.xxhash64("subject", "predicate", "object").cast("decimal(38,0)")).alias("h")
-    ).collect()[0]["h"]
     inc_sec = round(time.time() - t0, 2)
+
+    # verification artifact, outside both clocks (it costs the same
+    # full-output scan on either side and measures neither engine)
+    def _h(df):
+        return df.select(
+            F.sum(
+                F.xxhash64("subject", "predicate", "object").cast("decimal(38,0)")
+            ).alias("h")
+        ).collect()[0]["h"]
+
+    h_full, h_inc = _h(full_edges), _h(inc_edges)
 
     return {
         "base_statements": n_base,

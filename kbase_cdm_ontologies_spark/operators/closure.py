@@ -1269,12 +1269,34 @@ def _generic_property_fixpoint(
             t0 = _time.time()
             tuner.tune(n_delta if warm else n_r)
             d_small = n_delta is not None and n_delta <= 200_000
+            # warm + no union rule: every rule premise that reads the
+            # accumulated relation joins on s == delta.o or o == delta.s,
+            # so ONE flag-scan keyed on the (materialized) frontier's
+            # endpoints extracts every row this round can touch — the
+            # trans/chain composes then read the cone slice instead of
+            # scanning r once per rule branch (the union rule reads all
+            # of r by definition, so it keeps the full frame)
+            warm_slice = warm and union_df is None
+            if warm_slice:
+                kd_o = F.broadcast(delta.select(F.col("o").alias("s")).distinct())
+                kd_s = F.broadcast(
+                    delta.select("s").distinct().select(F.col("s").alias("o"))
+                )
+                r_cmp = _statscut(
+                    r.join(kd_o.withColumn("_fs", F.lit(True)), "s", "left")
+                    .join(kd_s.withColumn("_fo", F.lit(True)), "o", "left")
+                    .where(F.col("_fs").isNotNull() | F.col("_fo").isNotNull())
+                    .select("s", "p", "o"),
+                    eager=True,
+                )
+            else:
+                r_cmp = r
             parts: list[DataFrame] = []
             if transitive:
                 d_t = delta.where(F.col("p").isin(*trans_list))
                 if d_small:
                     d_t = F.broadcast(d_t)
-                r_t = r.where(F.col("p").isin(*trans_list))
+                r_t = r_cmp.where(F.col("p").isin(*trans_list))
                 hop = d_t.alias("a").join(
                     r_t.alias("b"),
                     (F.col("a.o") == F.col("b.s")) & (F.col("a.p") == F.col("b.p")),
@@ -1301,7 +1323,7 @@ def _generic_property_fixpoint(
                 parts.append(hop)
             if chain_df is not None:
                 parts.append(
-                    _chain_compose(chain_df, p1s, p2s, delta, r, scratch, d_small)
+                    _chain_compose(chain_df, p1s, p2s, delta, r_cmp, scratch, d_small)
                 )
             if union_df is not None:
                 parts.append(_union_links(union_df, card, r))

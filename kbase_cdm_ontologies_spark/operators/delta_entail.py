@@ -82,6 +82,25 @@ from .closure import (
 _SPO = ["subject", "predicate", "object"]
 
 
+def _schema_slice(pruned: DataFrame) -> DataFrame:
+    """Property-schema-bearing rows (subPropertyOf / chain axioms +
+    their rdf-list cells / TransitiveProperty typing / rdfs:domain) —
+    a superset of everything property_schema() and _domain_edges()
+    collect, schema-scale by construction. Kept as a state frame so a
+    delta run re-derives the grown schema from dictionary-sized input
+    instead of re-scanning the whole pruned corpus."""
+    return pruned.where(
+        F.col("predicate").isin(
+            "rdfs:subPropertyOf", "owl:propertyChainAxiom",
+            "rdfs:domain", "rdf:first", "rdf:rest",
+        )
+        | (
+            (F.col("predicate") == "rdf:type")
+            & (F.col("object") == "owl:TransitiveProperty")
+        )
+    )
+
+
 @dataclass
 class EntailState:
     """Saturated internal state of one entail() run — everything the
@@ -89,6 +108,7 @@ class EntailState:
     All frames are plain DataFrames (parquet round-trippable)."""
 
     pruned: DataFrame          # canonicalized pruned logic statements (s,p,o)
+    schema_rows: DataFrame     # property-schema + domain + list-cell slice
     sub: DataFrame             # augmented static subclass edges (s, o)
     rtc: DataFrame             # reflexive-transitive subclass closure (s, o)
     restr: DataFrame           # (a, prop, c) restriction nodes
@@ -100,7 +120,7 @@ class EntailState:
     schema: tuple              # (hierarchy: dict, transitive: set, chains: list)
 
     _FRAMES = (
-        "pruned", "sub", "rtc", "restr", "links",
+        "pruned", "schema_rows", "sub", "rtc", "restr", "links",
         "type_asserts", "edges", "class_nodes", "union_membership",
     )
 
@@ -162,6 +182,10 @@ def entail_with_state(
         # never re-execute the canonicalize/dedup plan
         pruned=_statscut(
             cap["pruned"].select(*_SPO).dropDuplicates(), eager=True
+        ),
+        schema_rows=_statscut(
+            _schema_slice(cap["pruned"]).select(*_SPO).dropDuplicates(),
+            eager=True,
         ),
         sub=cap["sub"],
         rtc=cap["rtc"],
@@ -265,7 +289,12 @@ def entail_delta(
     )
     _phase("prune+intern_delta")
     pruned_union = state.pruned.unionByName(pruned_delta)
-    hierarchy, transitive, chains = property_schema(pruned_union)
+    schema_rows = _statscut(
+        state.schema_rows.unionByName(_schema_slice(pruned_delta))
+        .dropDuplicates(),
+        eager=True,
+    )
+    hierarchy, transitive, chains = property_schema(schema_rows)
 
     _phase("schema")
     # ---- static subclass edge delta ----------------------------------
@@ -293,8 +322,14 @@ def entail_delta(
     union_membership = _statscut(
         state.union_membership.unionByName(union_mem_d).dropDuplicates()
     )
-    restr_new = _statscut(restriction_nodes(pruned_union))
-    domain_new = _domain_edges(pruned_union, hierarchy, restr_new)
+    # restriction bnodes are axiom-local and content-hash interned, so
+    # the union's restriction table is exactly the dedup of old ∪ delta
+    restr_new = _statscut(
+        state.restr.unionByName(restriction_nodes(pruned_delta))
+        .dropDuplicates(),
+        eager=True,
+    )
+    domain_new = _domain_edges(schema_rows, hierarchy, restr_new)
     static_raw = _statscut(
         sub_all_d.unionByName(expr_d)
         .unionByName(domain_new)
@@ -306,7 +341,7 @@ def entail_delta(
     )
 
     _phase("static_edges")
-    # ---- new reflexive rows ------------------------------------------
+    # ---- new reflexive rows / class growth ---------------------------
     new_cls_only = _statscut(
         delta_class_nodes.join(state.class_nodes, "id", "left_anti"),
         eager=True,
@@ -314,55 +349,119 @@ def entail_delta(
     class_nodes_new = _statscut(
         state.class_nodes.unionByName(new_cls_only), eager=True
     )
-    refl_d = (
+    refl_cand = (
         new_cls_only.select(F.col("id").alias("n"))
         .unionByName(restr_new.select(F.col("a").alias("n")))
         .unionByName(restr_new.select(F.col("c").alias("n")))
         .distinct()
         .select(F.col("n").alias("s"), F.col("n").alias("o"))
-        # reflexive rows only live in rtc's s==o slice — anti against
-        # that slice (scan + filter), never the full closure
-        .join(state.rtc.where(F.col("s") == F.col("o")), ["s", "o"], "left_anti")
     )
-
     _phase("reflexive")
+
+    # ---- ONE cone scan of the saved closure --------------------------
+    # The saved rtc is transitively closed, so every old segment of a
+    # new derivation collapses to a SINGLE rtc row keyed on a node the
+    # delta mentions: prefix segments end at a delta-edge subject
+    # (o ∈ subjF), middle/suffix segments start at a delta-mentioned
+    # node (s ∈ objF ∪ subjF). One flag-scan therefore extracts every
+    # closure row any phase below can need — the subclass extension,
+    # union recheck, base-link premises (filler / restriction-holder
+    # slices), individual typing, and reflexive output gains — and the
+    # corpus-sized rtc is never scanned again (one conditional second
+    # scan covers the descendants-of-reorganized-subjects anti slice).
+    cand_edges = static_d.where(F.col("s") != F.col("o"))
+    # pre-close the delta's own edge subgraph (hybrid driver BFS at
+    # add-a-source scale): the distributed loop then only runs the
+    # old/new alternation depth, not the delta's internal diameter
+    dc = transitive_closure(cand_edges)
+    f0_raw = _statscut(
+        cand_edges.unionByName(dc).unionByName(refl_cand).dropDuplicates(),
+        eager=True,
+    )
+    subj_f = f0_raw.select("s").distinct()
+    obj_f = f0_raw.select(F.col("o").alias("s")).distinct()
+    fillers = restr_new.select(F.col("c").alias("s")).distinct()
+    restr_ids = restr_new.select(F.col("a").alias("s")).distinct()
+    ta_cls_keys = (
+        pruned_delta.where(F.col("predicate") == "rdf:type")
+        .select(F.col("object").alias("s"))
+        .unionByName(new_cls_only.select(F.col("id").alias("s")))
+        .distinct()
+    )
+    union_nodes = (
+        union_membership.select(F.col("bn").alias("s"))
+        .unionByName(union_membership.select(F.col("member").alias("s")))
+        .distinct()
+    )
+    # suffix keys: nodes that can appear as the SUBJECT of a frontier
+    # pair — delta-edge subjects plus union bnodes (the elimination
+    # rule derives (bn, c) pairs whose old descendants then inherit).
+    # All key frames stay LAZY: they are tiny distinct-unions over cut
+    # parents, and re-evaluating them inside a broadcast is cheaper
+    # than a checkpoint action each.
+    suffix_keys = subj_f.unionByName(union_nodes).distinct()
+    k_s = (
+        subj_f.unionByName(obj_f).unionByName(fillers)
+        .unionByName(restr_ids).unionByName(ta_cls_keys)
+        .unionByName(union_nodes)
+        .distinct()
+    )
+    k_o = suffix_keys.unionByName(restr_ids).distinct()
+    cone_cap = _conf_threshold(
+        state.rtc, "spark.graft.deltaEntail.coneKeyCap", 8_000_000
+    )
+    n_keys = k_s.count() + k_o.count()
+    bc = (lambda d: F.broadcast(d)) if n_keys <= cone_cap else (lambda d: d)
+    r_cone = _statscut(
+        state.rtc
+        .join(bc(k_s.withColumn("_fs", F.lit(True))), "s", "left")
+        .join(
+            bc(
+                k_o.select(F.col("s").alias("o"))
+                .withColumn("_fo", F.lit(True))
+            ),
+            "o",
+            "left",
+        )
+        .where(F.col("_fs").isNotNull() | F.col("_fo").isNotNull())
+        .select("s", "o"),
+        eager=True,
+    )
+    # conditional second scan: anti coverage for derived pairs whose
+    # subject is an old DESCENDANT of a reorganized old subject (empty
+    # for pure source grafts — new subjects have no old descendants)
+    r_suf_subjects = _statscut(
+        r_cone.join(
+            bc(suffix_keys.select(F.col("s").alias("o"))), "o", "left_semi"
+        )
+        .select("s")
+        .distinct(),
+        eager=True,
+    )
+    n_wsubs = r_suf_subjects.count()
+    base_known = r_cone
+    if n_wsubs:
+        bc2 = (
+            (lambda d: F.broadcast(d))
+            if n_wsubs <= cone_cap
+            else (lambda d: d)
+        )
+        scan2 = state.rtc.join(bc2(r_suf_subjects), "s", "left_semi")
+        base_known = _statscut(
+            r_cone.unionByName(scan2).dropDuplicates(), eager=True
+        )
+    _phase("cone_scan")
+
     # ---- incremental subclass closure ⊕ union elimination ------------
-    delta0_raw = _statscut(
-        static_d.where(F.col("s") != F.col("o"))
-        .unionByName(refl_d)
-        .dropDuplicates(),
-        eager=True,
-    )
-    delta0 = _statscut(
-        _anti_vs_big(delta0_raw, state.rtc, ["s", "o"], "s"), eager=True
-    )
-    # pre-close the delta's OWN edge subgraph (hybrid: driver BFS at
-    # add-a-source scale): seeding the frontier with the new-new paths
-    # collapses the distributed doubling over the delta's internal
-    # diameter — the loop below then only runs the old/new ALTERNATION
-    # depth (usually 1-2 rounds + the empty-fixpoint round)
-    dc = transitive_closure(delta0)
-    delta0 = _statscut(
-        _anti_vs_big(
-            _statscut(delta0.unionByName(dc).dropDuplicates(), eager=True),
-            state.rtc,
-            ["s", "o"],
-            "s",
-        ),
-        eager=True,
-    )
-    news: list[DataFrame] = [delta0]
+    f0 = _statscut(f0_raw.join(base_known, ["s", "o"], "left_anti"), eager=True)
+    known = base_known.unionByName(f0)
+    news: list[DataFrame] = [f0]
     union_sub_news: list[DataFrame] = []
-    # plain union over cut parents — the loop below only SCANS known
-    # (anti_prefilter mode), so no closure-sized copy is ever made
-    known = state.rtc.unionByName(delta0)
-    frontier = delta0
-    n_frontier = delta0.count()
+    frontier = f0
+    n_frontier = f0.count()
     # bytes-aware broadcast cap: the dc-seeded frontier routinely tops
-    # the 200k default-row cap while its payload is a few tens of MB —
-    # shuffling the WHOLE old closure because the cone frontier is
-    # slightly over a row count would invert the cost model
-    fb = delta0.select(
+    # the 200k default-row cap while its payload is a few tens of MB
+    fb = f0.select(
         F.sum(F.length("s") + F.length("o")).alias("b")
     ).collect()[0]["b"] or 0
     bcast_rows = (n_frontier + 1) if fb <= (48 << 20) else 200_000
@@ -392,13 +491,9 @@ def entail_delta(
         if not has_unions:
             break
         u_new = _statscut(
-            _anti_vs_big(
-                _union_derived(known, membership_b, member_refl, card)
-                .dropDuplicates(),
-                known,
-                ["s", "o"],
-                "s",
-            ),
+            _union_derived(known, membership_b, member_refl, card)
+            .dropDuplicates()
+            .join(known, ["s", "o"], "left_anti"),
             eager=True,
         )
         n_frontier = u_new.count()
@@ -413,22 +508,27 @@ def entail_delta(
             f"entail_delta: subclass/union fixpoint did not converge "
             f"in {max_outer_rounds} rounds"
         )
-    rtc_new = known
     delta_r = news[0]
     for f in news[1:]:
         delta_r = delta_r.unionByName(f)
     delta_r = _statscut(delta_r.dropDuplicates(), eager=True)
     n_dr = delta_r.count()
+    rtc_new = state.rtc.unionByName(delta_r)
 
     _phase("subclass_extend")
     # ---- base existential link delta ---------------------------------
-    # semi-naive over the three-premise compose rtc ∘ restr ∘ rtc: the
-    # delta takes each premise slot once, the other slots read the full
-    # relation (old for slots left of the delta, new for slots right —
-    # the standard rectangle decomposition, no pair double-counted
-    # semantically, dedup folds overlaps). restr is schema-scale and
-    # broadcast; every term starts FROM the delta so only the affected
-    # cone is composed.
+    # semi-naive over the three-premise compose rtc ∘ restr ∘ rtc
+    # (rectangle decomposition: the delta takes each premise slot once,
+    # slots left of it read the OLD relation, slots right the NEW).
+    # The rtc premises read the cone slices — filler-keyed rows for the
+    # object-ascent slot, restriction-holder rows for the subject-
+    # descent slot — never the corpus-sized closure.
+    rtc_fill = base_known.join(bc(fillers), "s", "left_semi").unionByName(
+        delta_r.join(bc(fillers), "s", "left_semi")
+    )
+    holders_old = base_known.join(
+        bc(restr_ids.select(F.col("s").alias("o"))), "o", "left_semi"
+    )
     restr_d = _statscut(
         restr_new.join(state.restr, ["a", "prop", "c"], "left_anti"),
         eager=True,
@@ -442,7 +542,7 @@ def entail_delta(
             .join(F.broadcast(restr_new), "a")
             .select("x", "prop", "c")
             .dropDuplicates()
-            .join(rtc_new.select(F.col("s").alias("c"), F.col("o").alias("d")), "c")
+            .join(rtc_fill.select(F.col("s").alias("c"), F.col("o").alias("d")), "c")
             .select(F.col("x").alias("s"), F.col("prop").alias("p"), F.col("d").alias("o"))
         )
         # old prefix · old restr · new suffix: bind delta + restr first
@@ -454,17 +554,17 @@ def entail_delta(
         )
         mid3 = _statscut(mid3, eager=True)
         base_parts.append(
-            state.rtc.select(F.col("s").alias("x"), F.col("o").alias("a"))
+            holders_old.select(F.col("s").alias("x"), F.col("o").alias("a"))
             .join(_maybe_broadcast(mid3, mid3.count()), "a")
             .select(F.col("x").alias("s"), F.col("prop").alias("p"), F.col("d").alias("o"))
         )
     if n_restr_d:  # old prefix · NEW restr · new suffix
         base_parts.append(
-            state.rtc.select(F.col("s").alias("x"), F.col("o").alias("a"))
+            holders_old.select(F.col("s").alias("x"), F.col("o").alias("a"))
             .join(F.broadcast(restr_d), "a")
             .select("x", "prop", "c")
             .dropDuplicates()
-            .join(rtc_new.select(F.col("s").alias("c"), F.col("o").alias("d")), "c")
+            .join(rtc_fill.select(F.col("s").alias("c"), F.col("o").alias("d")), "c")
             .select(F.col("x").alias("s"), F.col("prop").alias("p"), F.col("d").alias("o"))
         )
     seed_parts: list[DataFrame] = []
@@ -567,8 +667,11 @@ def entail_delta(
         eager=True,
     )
     ta_new = state.type_asserts.unionByName(ta_delta)
+    rtc_cls = base_known.join(bc(ta_cls_keys), "s", "left_semi").unionByName(
+        delta_r.join(bc(ta_cls_keys), "s", "left_semi")
+    )
     ind_d = (
-        ta_delta.join(rtc_new.select(F.col("s").alias("cls"), "o"), "cls")
+        ta_delta.join(rtc_cls.select(F.col("s").alias("cls"), "o"), "cls")
         .select(
             F.col("ind").alias("subject"),
             F.lit("rdf:type").alias("predicate"),
@@ -593,8 +696,9 @@ def entail_delta(
     )
     sub_rows = delta_r.where(named).unionByName(
         # reflexive rows of PRE-EXISTING nodes that only now became
-        # declared classes (their (x, x) predates this delta)
-        state.rtc.where(F.col("s") == F.col("o")).join(
+        # declared classes (their (x, x) predates this delta; the cone
+        # scan keyed new-class ids, so the slice has the rows)
+        base_known.where(F.col("s") == F.col("o")).join(
             new_cls_only.select(F.col("id").alias("s")), "s", "left_semi"
         )
     )
@@ -651,6 +755,7 @@ def entail_delta(
         sub_new = sub_new.unionByName(u)
     new_state = EntailState(
         pruned=pruned_union,
+        schema_rows=schema_rows,
         sub=sub_new,
         rtc=rtc_new,
         restr=restr_new,
