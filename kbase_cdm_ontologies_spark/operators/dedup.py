@@ -39,6 +39,18 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _fanout_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit exchange before a bucket-local self-join whose output
+    FANS OUT quadratically per key group (C(n,2) pairs): AQE coalesces
+    post-shuffle partitions by INPUT bytes and cannot see the fan-out,
+    so a dense corpus lands the whole pair generation on one task
+    (measured at sf1.0: a 2.2M-row frame coalesced to ONE task emitting
+    ~10^8 pairs — a 30+ min straggler). A user-specified partition
+    count is exempt from AQE coalescing."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 4
+    return df.repartition(n, *cols)
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Clusters of byte-identical documents:
     (rep_id, dup_id) for every duplicate, rep = min id of the cluster."""
@@ -96,7 +108,9 @@ def minhash_candidate_pairs(
     """Near-dup candidates: pairs sharing the min-hash of ANY seed
     (banded LSH with 1 row per band). Returns distinct (id_a, id_b),
     id_a < id_b."""
-    sig = minhash_signatures(df, id_col, text_col, k)
+    sig = _fanout_repartition(
+        minhash_signatures(df, id_col, text_col, k), "seed", "sig"
+    )
     a = sig.select(F.col("id").alias("id_a"), "seed", "sig")
     b = sig.select(F.col("id").alias("id_b"), "seed", "sig")
     return (
@@ -140,6 +154,7 @@ def banded_lsh_pairs(
         sizes.where(F.col("n") <= max_bucket).select("band", "bucket"),
         ["band", "bucket"],
     )
+    bounded = _fanout_repartition(bounded, "band", "bucket")
     a = bounded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = bounded.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
@@ -291,6 +306,7 @@ def embedding_near_dup_bucketed(
         .where(F.col("nrm") > 0)
         .withColumn("bucket", lsh_bucket(F.col("v"), planes))
     )
+    v = _fanout_repartition(v, "bucket")
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -359,6 +375,7 @@ def simhash_near_pairs(
         "ckey",
         F.expr("shiftright(simhash, CAST(chunk * 16 AS INT)) & 65535"),
     )
+    chunks = _fanout_repartition(chunks, "chunk", "ckey")
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey")
     cand = (

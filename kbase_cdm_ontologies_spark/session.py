@@ -54,9 +54,10 @@ def get_spark(
         # (it only disables inferred IsNotNull/redundant-filter rules).
         # Scan-side cost measured ~nil: the 27-query sf0.1 headline
         # total is inside the host-noise band with the flag on vs off
-        # (BENCH.md §3d), so it stays off engine-wide rather than
-        # scoped per-operator. SPARK_GRAFT_CONSTRAINT_PROP=true
-        # overrides for A/B measurement.
+        # (25.03 s off vs 25.83 s on, same-session A/B — BENCH.md §3a),
+        # so it stays off engine-wide rather than scoped per-operator.
+        # SPARK_GRAFT_CONSTRAINT_PROP=true overrides for A/B
+        # measurement.
         .config(
             "spark.sql.constraintPropagation.enabled",
             os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"),

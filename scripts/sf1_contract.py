@@ -162,9 +162,10 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        # Spark writes each table as a DIRECTORY of part files
         con.sql(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM '{SF1}/{t}.parquet'"
+            f"SELECT * FROM read_parquet('{SF1}/{t}.parquet/*.parquet')"
         )
     qs, oracles = queries(), oracle_sql()
     report: dict = {"sf": 1.0, "dir": SF1, "queries": {}}
