@@ -1277,9 +1277,22 @@ def _generic_property_fixpoint(
             # scanning r once per rule branch (the union rule reads all
             # of r by definition, so it keeps the full frame)
             warm_slice = warm and union_df is None
+            # byte-aware broadcast guard (keys are frontier endpoints,
+            # so n_delta bounds their count): a frontier past the cap
+            # would blow the session's broadcast budget — fall back to
+            # plain joins and let AQE pick the strategy from runtime
+            # sizes.
+            bkey_cap = _conf_threshold(
+                r, "spark.graft.closure.broadcastKeyCap", 2_000_000
+            )
+            _bc = (
+                F.broadcast
+                if (n_delta is not None and n_delta <= bkey_cap)
+                else (lambda d: d)
+            )
             if warm_slice:
-                kd_o = F.broadcast(delta.select(F.col("o").alias("s")).distinct())
-                kd_s = F.broadcast(
+                kd_o = _bc(delta.select(F.col("o").alias("s")).distinct())
+                kd_s = _bc(
                     delta.select("s").distinct().select(F.col("s").alias("o"))
                 )
                 r_cmp = _statscut(
@@ -1327,9 +1340,16 @@ def _generic_property_fixpoint(
                 )
             if union_df is not None:
                 parts.append(_union_links(union_df, card, r))
-            new = parts[0]
-            for extra in parts[1:]:
-                new = new.unionByName(extra)
+            if parts:
+                new = parts[0]
+                for extra in parts[1:]:
+                    new = new.unionByName(extra)
+            else:
+                # rule-free schema (e.g. hierarchy/restriction-only
+                # ontology reached via the warm-seeded path): nothing
+                # can derive past the seed rounds' hierarchy lift — an
+                # empty frontier terminates the loop this round.
+                new = delta.limit(0)
             # ONE dedup shuffle per round: expand the raw derivations
             # up the hierarchy first (broadcast join, duplicates are
             # fine), dedup once, then anti-join the accumulated set.
@@ -1343,8 +1363,15 @@ def _generic_property_fixpoint(
                 # materialize it once, anti-join against r's pruned
                 # subject slice (broadcast semi), never shuffle r
                 new_m = _statscut(new.dropDuplicates(), eager=True)
+                # new_m can outgrow the prior frontier, so its key
+                # broadcast gets its own count (cheap: materialized)
+                _bc_new = (
+                    F.broadcast
+                    if new_m.count() <= bkey_cap
+                    else (lambda d: d)
+                )
                 r_slice = r.join(
-                    F.broadcast(new_m.select("s").distinct()), "s", "left_semi"
+                    _bc_new(new_m.select("s").distinct()), "s", "left_semi"
                 )
                 delta = _statscut(new_m.join(r_slice, ["s", "p", "o"], "left_anti"))
             else:
@@ -1365,7 +1392,9 @@ def _generic_property_fixpoint(
                 print(f"[pc] flat round {rnd} delta={n_delta} "
                       f"{_time.time() - t0:.1f}s", flush=True)
             if n_delta == 0:
-                _PHASE_WALLS["property_closure.flat_rounds"] = rnd + 1
+                # a COUNT, not seconds: keep it out of the per-phase
+                # wall-seconds namespace consumed by the manifest
+                _PHASE_WALLS["property_closure.flat_rounds_count"] = rnd + 1
                 if warm:
                     out_new = None
                     if return_new:

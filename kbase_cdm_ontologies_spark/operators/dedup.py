@@ -39,6 +39,78 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks): per-document DISTINCT token set as one array — the
+    zero-shuffle form of `tokens()`. All downstream consumers (min-hash,
+    set Jaccard) are order- and multiplicity-insensitive, so the
+    explode → distinct → groupBy round-trip of the long form is pure
+    shuffle cost; array_distinct over the split does the same dedup
+    inside the scan task. Documents with no tokens are dropped,
+    matching the long form (they produce zero (id, token) rows)."""
+    arr = F.array_distinct(
+        F.filter(
+            F.split(F.col(text_col), TOKEN_SPLIT_RE), lambda t: t != ""
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), arr.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+
+
+def minhash_signatures_wide(toks_arr: DataFrame, k: int = 8) -> DataFrame:
+    """(id, _s0.._s{k-1}) from a (id, toks) array frame — one per-row
+    projection, NO shuffle: sig_i = array_min(md5(i || ':' || tok))
+    over the doc's token set, identical to the groupBy-min over
+    exploded tokens (min over strings = lexicographic array_min)."""
+    def _seed_hash(s: int):
+        # closure factory: a 2-parameter lambda would be read by
+        # PySpark as the (element, index) form of transform
+        return lambda t: F.md5(F.concat(F.lit(f"{s}:"), t))
+
+    cols = [
+        F.array_min(F.transform(F.col("toks"), _seed_hash(s))).alias(f"_s{s}")
+        for s in range(k)
+    ]
+    return toks_arr.select("id", *cols)
+
+
+def _group_pairs(keyed: DataFrame, *group_cols: str, max_bucket: int | None = None) -> DataFrame:
+    """Distinct (id_a, id_b), id_a < id_b, for ids sharing a key group:
+    ONE shuffle (groupBy collect_list) + in-task pair expansion +
+    distinct, replacing the self-join formulation whose two join inputs
+    each recompute the whole upstream. The explicit fan-out
+    repartition before the groupBy keeps AQE from coalescing the pair
+    EXPANSION onto few tasks (AQE sizes partitions by input bytes and
+    cannot see the C(n,2) output — measured 30+ min one-task straggler
+    at sf1.0 without it); the groupBy reuses that exchange, so the
+    repartition costs nothing extra.
+
+    max_bucket: drop key groups larger than this (viral-bucket guard)
+    — applied on the grouped sizes, identical to the former
+    count-filter-join."""
+    keyed = _fanout_repartition(keyed, *group_cols)
+    grouped = keyed.groupBy(*group_cols).agg(F.collect_list("id").alias("_ids"))
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("_ids") <= max_bucket)
+    ids_s = F.sort_array(F.col("_ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids_s,
+            lambda x, i: F.transform(
+                F.slice(ids_s, i + 2, F.size(ids_s)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.where(F.size("_ids") >= 2)
+        .select(F.explode(pair_structs).alias("_pr"))
+        .select(F.col("_pr.a").alias("id_a"), F.col("_pr.b").alias("id_b"))
+        .distinct()
+    )
+
+
 def _fanout_repartition(df: DataFrame, *cols: str) -> DataFrame:
     """Explicit exchange before a bucket-local self-join whose output
     FANS OUT quadratically per key group (C(n,2) pairs): AQE coalesces
@@ -90,16 +162,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, seed, sig): k md5-based min-hashes over the token set.
     hash_i(tok) = md5(i || ':' || tok) — engine-portable determinism.
-    Standalone form: explodes tokens without distinct (min() makes the
-    dedup shuffle unnecessary)."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.col(text_col), TOKEN_SPLIT_RE)).alias("token"),
-        )
-        .where(F.col("token") != "")
-    )
-    return minhash_signatures_from_tokens(toks, k)
+    Computed per row from the doc's distinct-token array (no explode,
+    no shuffle), unpivoted to the long form."""
+    wide = minhash_signatures_wide(token_arrays(df, id_col, text_col), k)
+    stack = ", ".join(f"{s}, _s{s}" for s in range(k))
+    return wide.select(
+        "id", F.expr(f"stack({k}, {stack}) AS (seed, sig)")
+    ).select("id", F.col("seed").cast("int").alias("seed"), "sig")
 
 
 def minhash_candidate_pairs(
@@ -108,17 +177,8 @@ def minhash_candidate_pairs(
     """Near-dup candidates: pairs sharing the min-hash of ANY seed
     (banded LSH with 1 row per band). Returns distinct (id_a, id_b),
     id_a < id_b."""
-    sig = _fanout_repartition(
-        minhash_signatures(df, id_col, text_col, k), "seed", "sig"
-    )
-    a = sig.select(F.col("id").alias("id_a"), "seed", "sig")
-    b = sig.select(F.col("id").alias("id_b"), "seed", "sig")
-    return (
-        a.join(b, ["seed", "sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    sig = minhash_signatures(df, id_col, text_col, k)
+    return _group_pairs(sig, "seed", "sig")
 
 
 def banded_lsh_pairs(
@@ -128,41 +188,44 @@ def banded_lsh_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket: int = 1000,
-    tokens_df: DataFrame | None = None,
+    tokens_arr_df: DataFrame | None = None,
 ) -> DataFrame:
     """Classic (b, r) MinHash-LSH: signature of b*r hashes, one bucket
     key per band = md5 of the band's r concatenated min-hashes.
     Buckets larger than max_bucket are dropped (boilerplate guard —
     'no silent caps': caller can count them via lsh_bucket_stats).
 
-    tokens_df: optional prepared (id, token) frame — pass a persisted
-    one to share the tokenize stage with the verification pass."""
+    tokens_arr_df: optional prepared (id, toks) array frame
+    (token_arrays) — pass a persisted one to share the tokenize stage
+    with the verification pass."""
     k = bands * rows_per_band
-    if tokens_df is not None:
-        sig = minhash_signatures_from_tokens(tokens_df, k)
+    if tokens_arr_df is not None:
+        wide = minhash_signatures_wide(tokens_arr_df, k)
     else:
-        sig = minhash_signatures(df, id_col, text_col, k)
-    sig = sig.withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int")
-    )
+        wide = minhash_signatures_wide(token_arrays(df, id_col, text_col), k)
+    # band bucket per row (no groupBy: the band's r sigs are already
+    # columns) — md5 of the band's SORTED sigs, exactly the former
+    # collect_list+sort_array key
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.array(
+                        *[F.col(f"_s{b * rows_per_band + i}") for i in range(rows_per_band)]
+                    )
+                ),
+            )
+        ).alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    stack = ", ".join(f"{b}, _b{b}" for b in range(bands))
     band_key = (
-        sig.groupBy("id", "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("sig")))).alias("bucket"))
+        wide.select("id", *band_cols)
+        .select("id", F.expr(f"stack({bands}, {stack}) AS (band, bucket)"))
+        .select("id", F.col("band").cast("int").alias("band"), "bucket")
     )
-    sizes = band_key.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    bounded = band_key.join(
-        sizes.where(F.col("n") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
-    )
-    bounded = _fanout_repartition(bounded, "band", "bucket")
-    a = bounded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = bounded.select(F.col("id").alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _group_pairs(band_key, "band", "bucket", max_bucket=max_bucket)
 
 
 def jaccard_pairs(
@@ -212,8 +275,15 @@ def jaccard_pairs_sets(
     token-level fan-out join + groupBy of jaccard_pairs. The right
     shape when per-document token sets are bounded (web pages): the
     heavy shuffle is two (id -> array) joins on the candidate ids, and
-    intersections never leave whole-stage codegen."""
-    sets = toks.groupBy("id").agg(F.collect_set("token").alias("tset"))
+    intersections never leave whole-stage codegen.
+
+    toks: either the long (id, token) form (grouped to sets here) or a
+    token_arrays (id, toks) frame, used directly — the zero-shuffle
+    path."""
+    if "toks" in toks.columns:
+        sets = toks.select("id", F.col("toks").alias("tset"))
+    else:
+        sets = toks.groupBy("id").agg(F.collect_set("token").alias("tset"))
     a = sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ta"))
     b = sets.select(F.col("id").alias("id_b"), F.col("tset").alias("tb"))
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
@@ -286,14 +356,27 @@ def embedding_near_dup_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.8,
+    backend: str = "gram",
 ) -> DataFrame:
     """The SCALE path for embedding near-dup: LSH-bucket first (seeded
-    hyperplane signs), exact cosine only within buckets — the join is
-    an equi-join on the bucket key instead of the all-pairs range join
-    of embedding_near_dup. Recall is governed by n_planes (each plane
-    halves the candidate space and can split a true pair); composition
-    is deterministic (md5-seeded planes), so it sits under the DuckDB
-    oracle gate in queries.py."""
+    hyperplane signs), exact cosine only within buckets. Recall is
+    governed by n_planes (each plane halves the candidate space and can
+    split a true pair); composition is deterministic (md5-seeded
+    planes), so it sits under the DuckDB oracle gate in queries.py.
+
+    backend="gram" (default): each bucket's vectors are shipped to a
+    vectorized pandas stage ONCE (n·dim doubles) and all C(n,2)
+    cosines are computed there — vectorized ACROSS pairs, sequential
+    ACROSS dimensions, i.e. the exact ((0+p0)+p1)+… left fold of the
+    JVM expression, so every cosine is bit-identical to the join
+    backend (and to the DuckDB oracle). The former equi-self-join paid
+    an interpreted higher-order-function fold per pair (~2·dim lambda
+    calls × C(n,2) pairs — the measured wall at sf1.0) and recomputed
+    the scan+bucket subtree for both join sides. Python-side
+    pre-filtering uses a sound margin (threshold - 1e-5 on the RAW
+    cosine); the authoritative round+threshold gate stays in Spark.
+    backend="join": the all-JVM equi-join formulation (kept for
+    environments without the Python worker pool)."""
     from .similarity import _dot, _norm, _seeded_hyperplanes, lsh_bucket
 
     planes = _seeded_hyperplanes(dim, n_planes, seed)
@@ -307,6 +390,57 @@ def embedding_near_dup_bucketed(
         .withColumn("bucket", lsh_bucket(F.col("v"), planes))
     )
     v = _fanout_repartition(v, "bucket")
+    if backend == "gram":
+        import numpy as np
+        import pandas as pd
+
+        id_type = dict(
+            (f.name, f.dataType.simpleString()) for f in embeddings.schema.fields
+        )[id_col]
+        margin = threshold - 1e-5  # sound: wider than the 5-dp half-ulp
+
+        def _bucket_gram(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            if n < 2:
+                return empty
+            pdf = pdf.sort_values("id")  # id_a < id_b via sorted order
+            V = np.vstack(pdf["v"].to_numpy())
+            nrm = pdf["nrm"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            d = V.shape[1]
+            out_a, out_b, out_c = [], [], []
+            # bound memory: blocks of a-rows of ~2M pair cells
+            blk = max(1, 2_000_000 // max(n - 1, 1))
+            for s in range(0, n - 1, blk):
+                e = min(s + blk, n - 1)
+                reps = n - 1 - np.arange(s, e)
+                ia = np.repeat(np.arange(s, e), reps)
+                ib = np.concatenate([np.arange(i + 1, n) for i in range(s, e)])
+                acc = np.zeros(len(ia))
+                for k in range(d):  # exact JVM left fold, per dim
+                    acc += V[ia, k] * V[ib, k]
+                cos = acc / (nrm[ia] * nrm[ib])
+                keep = cos >= margin
+                out_a.append(ids[ia[keep]])
+                out_b.append(ids[ib[keep]])
+                out_c.append(cos[keep])
+            if not out_a:
+                return empty
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+        pairs = v.groupBy("bucket").applyInPandas(
+            _bucket_gram, f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("cosine", 5).alias("cosine")
+        ).where(F.col("cosine") >= threshold)
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket")
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket")
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))

@@ -407,8 +407,10 @@ def entail_delta(
         .distinct()
     )
     k_o = suffix_keys.unionByName(restr_ids).distinct()
+    # default sized to the session's broadcast budget: ~2M interned
+    # keys is tens of MB framed; 8M risked hundreds of MB per broadcast
     cone_cap = _conf_threshold(
-        state.rtc, "spark.graft.deltaEntail.coneKeyCap", 8_000_000
+        state.rtc, "spark.graft.deltaEntail.coneKeyCap", 2_000_000
     )
     n_keys = k_s.count() + k_o.count()
     bc = (lambda d: F.broadcast(d)) if n_keys <= cone_cap else (lambda d: d)

@@ -27,8 +27,68 @@ TABLES = (
 ).split()
 
 
+# Scan-spread decision cache: path -> number of splittable input units
+# (parquet ROW GROUPS — Spark assigns a row group to exactly one task,
+# so maxPartitionBytes/minPartitionNum cannot split below that).
+_RG_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _row_groups(path: str) -> tuple[int, int]:
+    """(n_row_groups, total_bytes) of a local parquet file/dir; (-1, -1)
+    when unreadable (non-local path → never spread, scan as-is)."""
+    if path not in _RG_CACHE:
+        try:
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            files = (
+                [
+                    _os.path.join(path, f)
+                    for f in _os.listdir(path)
+                    if f.endswith(".parquet")
+                ]
+                if _os.path.isdir(path)
+                else [path]
+            )
+            rgs = sum(_pq.ParquetFile(f).metadata.num_row_groups for f in files)
+            size = sum(_os.path.getsize(f) for f in files)
+            _RG_CACHE[path] = (rgs, size)
+        except Exception:
+            _RG_CACHE[path] = (-1, -1)
+    return _RG_CACHE[path]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan with input-skew remedy (guide §2.5) for queries whose
+    PER-ROW work dominates (regex/JSON parsing, token explode, Python
+    stages, vector math): a parquet file whose ROW-GROUP count is far
+    below the core count scans as one/two tasks no matter what split
+    configs say — the single-file analog of an unsplittable gzip —
+    serializing all that per-row work. Repartition immediately after
+    the read, but ONLY for such inputs: production-shaped tables (many
+    files / many row groups) take the normal splittable scan untouched,
+    so this is a no-op at cluster scale. Cheap-per-row scan+aggregate
+    queries keep the plain `_t` scan: for them the round-robin exchange
+    costs more than the parallelism it buys (measured: events_daily
+    0.87→1.91 s, q1 0.84→1.32 s at sf1.0). Bounds are conf-tunable
+    (spark.graft.scanSpread.{maxRowGroups,maxBytes}); maxBytes caps the
+    exchange this buys parallelism with."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    from .config import conf_threshold as _ct
+
+    max_rgs = _ct(spark, "spark.graft.scanSpread.maxRowGroups", max(par // 4, 1))
+    max_bytes = _ct(spark, "spark.graft.scanSpread.maxBytes", 512 * 1024 * 1024)
+    rgs, size = _row_groups(path)
+    if 0 < rgs <= max_rgs and 0 < size <= max_bytes:
+        return df.repartition(par)
+    return df
 
 
 KG_VOCAB = ["spark", "join", "merge", "window", "stream", "vector", "hash", "filter"]
@@ -101,9 +161,19 @@ def q3_shipping_priority(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # join order: orders ⋈ broadcast(filtered customers) FIRST — the
+    # segment filter keeps ~1/5 of orders, so the lineitem join's
+    # broadcast build side shrinks 5x before the big table touches it
+    # (the planner alone broadcasts FULL orders here: its estimate of
+    # the filtered join output is not broadcastable, while the raw
+    # 25 MB file is). The hint holds while segment-filtered orders fit
+    # the broadcast budget; past that scale the planner's own
+    # threshold takes over via the o2-side estimate.
+    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(o2), li.l_orderkey == o2.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
@@ -371,7 +441,7 @@ def events_top_users_per_type(spark, sf_dir):
     """,
 )
 def kg_mention_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
         .where(F.col("token").isin(*KG_VOCAB))
@@ -398,7 +468,7 @@ def kg_mention_counts(spark, sf_dir):
     """,
 )
 def kg_cooccurrence_edges(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     dt = (
         d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
         .where(F.col("token").isin(*KG_VOCAB))
@@ -531,7 +601,7 @@ _IRI_DERIVATION_SQL = """
 
 
 def _iri_df(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
+    c = _ts(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     obo = "http://purl.obolibrary.org/obo/"
     iri = (
@@ -645,10 +715,14 @@ def top5_customer_sample_per_nation(spark, sf_dir):
     """,
 )
 def events_json_props(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
+    # parse the JSON ONCE per row in a projection; referencing the
+    # extraction inside both aggregates re-parses per aggregate
     k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy("event_type").agg(
-        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    return (
+        e.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("_k"), 4).alias("avg_k"), F.max("_k").alias("max_k"))
     )
 
 
@@ -799,7 +873,7 @@ def lineitem_grouping_sets(spark, sf_dir):
 def events_props_map(spark, sf_dir):
     """map-typed column path: parse props into map<string,int>,
     explode, aggregate per (event_type, key)."""
-    e = _t(spark, sf_dir, "events")
+    e = _ts(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return (
         e.select("event_type", F.explode(m).alias("prop_key", "val"))
@@ -904,7 +978,7 @@ _DUPED = """
 
 
 def _duped_docs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     extra = (
         d.where(F.col("doc_id") % 10 == 0)
         .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
@@ -1013,11 +1087,12 @@ def dedup_lsh_banded(spark, sf_dir):
 )
 def dedup_jaccard(spark, sf_dir):
     docs = _duped_docs(spark, sf_dir)
-    # shared signature stage: tokenize once (persisted), feed both the
-    # LSH candidate generator and the exact set-based verifier
-    toks = dedup.tokens(docs, "doc_id", "text").persist()
+    # shared tokenize stage: ONE per-doc distinct-token-array frame
+    # (persisted, no shuffle to build) feeds both the LSH candidate
+    # generator and the exact set-based verifier
+    toks = dedup.token_arrays(docs, "doc_id", "text").persist()
     cand = dedup.banded_lsh_pairs(
-        docs, "doc_id", "text", 4, 2, max_bucket=1000, tokens_df=toks
+        docs, "doc_id", "text", 4, 2, max_bucket=1000, tokens_arr_df=toks
     )
     out = dedup.jaccard_pairs_sets(toks, cand, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -1041,7 +1116,7 @@ def dedup_jaccard(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_near_dup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3
+        _ts(spark, sf_dir, "embeddings"), threshold=0.3
     )
 
 
@@ -1079,7 +1154,7 @@ def dedup_embedding_lsh_bucketed(spark, sf_dir):
     """The documented scale path (bucket-then-verify) under the oracle
     gate — not just its two parts separately."""
     return dedup.embedding_near_dup_bucketed(
-        _t(spark, sf_dir, "embeddings"), dim=64, n_planes=4, seed=9, threshold=0.3
+        _ts(spark, sf_dir, "embeddings"), dim=64, n_planes=4, seed=9, threshold=0.3
     )
 
 
@@ -1152,7 +1227,7 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def ann_cosine_scores(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1255,7 +1330,7 @@ def ann_lsh_topk(spark, sf_dir):
     """,
 )
 def text_token_stats(spark, sf_dir):
-    return textstats.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return textstats.token_stats(_ts(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @q(
@@ -1283,7 +1358,7 @@ def text_token_stats(spark, sf_dir):
     """,
 )
 def text_quality(spark, sf_dir):
-    return textstats.quality_scores(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return textstats.quality_scores(_ts(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @q(
@@ -1310,7 +1385,7 @@ def text_quality(spark, sf_dir):
     """,
 )
 def text_langid(spark, sf_dir):
-    return textstats.detect_language(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return textstats.detect_language(_ts(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @q(
@@ -1322,7 +1397,7 @@ def text_langid(spark, sf_dir):
     """,
 )
 def text_fingerprint(spark, sf_dir):
-    return textstats.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return textstats.fingerprint(_ts(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -1363,7 +1438,7 @@ def kg_mentions_operator(spark, sf_dir):
     SQL-expressible."""
     from .operators.mentions import detect_mentions
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _ts(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"),
         F.col("text").alias("extracted_text"),
         F.lit("en").alias("lang"),
@@ -1462,7 +1537,7 @@ def web_url_normalize(spark, sf_dir):
     """Common-Crawl URL canonicalization (host/path extraction, tracking
     param strip) — the per-document key derivation of a web-scale
     pipeline, pure JVM regexp."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     k = F.col("doc_id")
     url = (
         F.when(k % 4 == 0, F.concat(F.lit("HTTP://Example.COM/d/"), k, F.lit("/?utm_source=x&q="), k, F.lit("#frag")))
@@ -1496,7 +1571,7 @@ def text_chunking(spark, sf_dir):
     """Sliding-window passage chunking (chunk=32 tokens, overlap=8) —
     the passage-extraction step of a training-data pipeline; one narrow
     JVM pass, pipelines with the scan."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     out = textstats.chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
     return out.select(
         "id",

@@ -181,3 +181,82 @@ def test_normalize_urls_rules(spark):
     assert got["https://x.io/a?keep=1&utm_a=1&utm_b=2&also=2"] == (
         "x.io", "https://x.io/a?keep=1&also=2"
     )
+
+
+# --- r6 optimization equivalence: array-form internals vs long form ---
+
+def test_token_arrays_equals_tokens(spark):
+    """token_arrays (per-row array_distinct) must carry exactly the
+    distinct (id, token) sets of the exploded long form, and drop
+    token-less docs identically."""
+    df = spark.createDataFrame(
+        DOCS + [(7, ""), (8, "   "), (9, "x  x\t x\nx")], ["doc_id", "text"]
+    )
+    long = {
+        (r["id"], r["token"])
+        for r in dedup.tokens(df, "doc_id", "text").collect()
+    }
+    arr = {
+        (r["id"], t)
+        for r in dedup.token_arrays(df, "doc_id", "text").collect()
+        for t in r["toks"]
+    }
+    assert arr == long
+    # per-row arrays are duplicate-free
+    for r in dedup.token_arrays(df, "doc_id", "text").collect():
+        assert len(r["toks"]) == len(set(r["toks"]))
+
+
+def test_group_pairs_equals_self_join(spark):
+    """_group_pairs (collect_list + in-task expansion) must emit the
+    same distinct ordered pairs as the equi-self-join it replaced,
+    including the max_bucket drop."""
+    rows = (
+        [(i, 0, "hot") for i in range(12)]          # viral bucket: dropped at cap 10
+        + [(i, 1, "warm") for i in (3, 1, 7)]       # C(3,2) pairs
+        + [(i, 1, "solo") for i in (9,)]            # singleton: no pairs
+        + [(5, 0, "warm"), (6, 0, "warm")]          # same bucket name, other band
+    )
+    keyed = spark.createDataFrame(rows, ["id", "band", "bucket"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup._group_pairs(keyed, "band", "bucket", max_bucket=10).collect()
+    }
+    a = keyed.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = keyed.select(F.col("id").alias("id_b"), "band", "bucket")
+    sizes = keyed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    ok = sizes.where(F.col("n") <= 10).select("band", "bucket")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(ok, ["band", "bucket"])
+        .join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert got == want and (1, 3) in got and all(x[0] < x[1] for x in got)
+
+
+def test_embedding_bucketed_gram_equals_join_backend(spark):
+    """The vectorized pandas gram backend must be BIT-identical to the
+    all-JVM join backend (same rounded cosines, same pair set) — the
+    equivalence the exact left-fold accumulation guarantees."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)
+    ] + [(900, [0.0] * 16)]  # zero vector: filtered in both backends
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(dim=16, n_planes=2, seed=9, threshold=0.1)
+    gram = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_bucketed(emb, backend="gram", **kw).collect()
+    }
+    join = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_bucketed(emb, backend="join", **kw).collect()
+    }
+    assert gram == join
+    assert len(gram) > 0

@@ -355,6 +355,9 @@ def test_delta_distributed_regime(spark):
         "spark.graft.unionElimination.localThreshold",
         "spark.graft.propertyClosure.localThreshold",
         "spark.graft.keyedTransitiveClosure.localThreshold",
+        # the warm-seeded distributed property fixpoint — the at-scale
+        # regime — only runs when the driver saturation is off too
+        "spark.graft.deltaEntail.driverThreshold",
     ]
     old = {k: spark.conf.get(k, None) for k in keys}
     for k in keys:
@@ -371,6 +374,51 @@ def test_delta_distributed_regime(spark):
             decls + [r for u in base_units for r in u],
             [r for u in delta_units for r in u],
         )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_delta_distributed_rule_free_schema(spark):
+    """Hierarchy/restriction + subPropertyOf ONLY — no transitive,
+    chain, or union axioms — through the forced-distributed warm
+    property fixpoint. Regression guard for the seeded
+    _generic_property_fixpoint crashing on an empty rule-part list
+    (ADVICE r5 high: parts[0] IndexError when the schema has no
+    trans/chain/union rules)."""
+    keys = [
+        "spark.graft.transitiveClosure.localThreshold",
+        "spark.graft.propertyClosure.localThreshold",
+        "spark.graft.keyedTransitiveClosure.localThreshold",
+        "spark.graft.deltaEntail.driverThreshold",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "0")
+    try:
+        base_rows = [
+            *[(f"C:{i}", "rdf:type", "owl:Class") for i in range(4)],
+            ("C:1", "rdfs:subClassOf", "C:0"),
+            ("C:2", "rdfs:subClassOf", "C:1"),
+            # restriction: C:2 ⊑ ∃P:a.C:3
+            ("C:2", "rdfs:subClassOf", "_:r1"),
+            ("_:r1", "owl:onProperty", "P:a"),
+            ("_:r1", "owl:someValuesFrom", "C:3"),
+            # property hierarchy only — NO trans/chain/union anywhere
+            ("P:a", "rdfs:subPropertyOf", "P:b"),
+        ]
+        delta_rows = [
+            ("C:9", "rdf:type", "owl:Class"),
+            ("C:9", "rdfs:subClassOf", "C:2"),
+            # a delta restriction so the warm property stage has work
+            ("C:9", "rdfs:subClassOf", "_:r2"),
+            ("_:r2", "owl:onProperty", "P:a"),
+            ("_:r2", "owl:someValuesFrom", "C:0"),
+        ]
+        _check_delta_matches_full(spark, base_rows, delta_rows)
     finally:
         for k, v in old.items():
             if v is None:
