@@ -92,11 +92,48 @@ class CAhoCorasick:
         ]
 
 
+class ScanFind:
+    """Small-dictionary fast path: per-pattern C-speed ``str.find``
+    scans. ``find()`` contract identical to AhoCorasick — EVERY
+    occurrence of every pattern, overlapping and nested included
+    (restart at start+1, so 'aa' in 'aaa' hits twice) — only the emit
+    order differs, and every consumer aggregates into counts. The
+    pure-Python AC walks the haystack one character at a time in the
+    interpreter (O(n) dict lookups per document — the measured wall of
+    the mention stage); str.find runs the whole scan in C, so for P
+    patterns the cost is P fast scans instead of one slow one. The
+    crossover favours AC only for large dictionaries, hence the
+    build-site guard."""
+
+    __slots__ = ("patterns",)
+
+    def __init__(self, patterns: list[str]):
+        self.patterns = patterns
+
+    def find(self, text: str, pattern_lens: list[int]) -> list[tuple[int, int]]:
+        res = []
+        for pidx, pat in enumerate(self.patterns):
+            start = text.find(pat)
+            while start != -1:
+                res.append((pidx, start))
+                start = text.find(pat, start + 1)
+        return res
+
+
+# Below this many patterns, P C-speed scans beat one interpreted AC
+# walk by a wide margin (8 patterns: ~10x on 300-char docs). Above it,
+# AC's dictionary-size independence wins.
+SCAN_FIND_MAX_PATTERNS = 64
+
+
 def build_automaton(patterns: list[str]):
-    """Fastest available automaton: C extension when installed, the
-    pure-Python trie otherwise."""
+    """Fastest available automaton: C extension when installed; else
+    per-pattern C find-scans for small dictionaries; else the
+    pure-Python trie."""
     if _c_aho is not None:
         return CAhoCorasick(patterns)
+    if len(patterns) <= SCAN_FIND_MAX_PATTERNS:
+        return ScanFind(patterns)
     return AhoCorasick(patterns)
 
 

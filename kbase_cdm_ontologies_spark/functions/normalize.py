@@ -41,13 +41,56 @@ def is_own_term_expr(iri: Column, short_name: Column) -> Column:
     )
 
 
+def compact_curies_expr(
+    df: DataFrame,
+    iri_col: str,
+    prefixes: list[tuple[str, str]],
+    out_col: str = "curie",
+) -> DataFrame:
+    """Driver-known (prefix, base) pairs compiled into a
+    longest-base-first CASE projection — the zero-shuffle form of
+    compact_curies for dimension-sized registries (ties: prefix ASC,
+    matching the join+window plan's ordering)."""
+    keep = list(df.columns)
+    rows = sorted(set(prefixes), key=lambda r: (-len(r[1]), r[0]))
+    iri = F.col(iri_col)
+    expr = iri
+    for prefix, base in reversed(rows):
+        expr = F.when(
+            iri.startswith(base),
+            F.concat(
+                F.lit(prefix),
+                F.lit(":"),
+                F.substring(iri, len(base) + 1, 2_000_000_000),
+            ),
+        ).otherwise(expr)
+    return df.select(*keep, expr.alias(out_col))
+
+
 def compact_curies(
     df: DataFrame, iri_col: str, prefix_table: DataFrame, out_col: str = "curie"
 ) -> DataFrame:
-    """IRI -> CURIE via the longest matching base (broadcast join; the
-    prefix table is ~1.2k rows in the reference). Non-matching IRIs
-    pass through unchanged."""
+    """IRI -> CURIE via the longest matching base. Non-matching IRIs
+    pass through unchanged.
+
+    The prefix table is dimension-sized by contract (~1.2k rows in the
+    reference's semsql prefix csv), so the default plan is a pure
+    PROJECTION: the table is collected once and compiled into a
+    longest-base-first CASE chain — no join, no all-columns window
+    shuffle, the query pipelines with the scan. The longest-match /
+    prefix-asc tie order of the CASE is exactly the former window's
+    (length(base) DESC, prefix ASC) ordering. A prefix table larger
+    than spark.graft.curie.exprMaxPrefixes (default 512 — far past any
+    real registry) falls back to the broadcast-join + window plan."""
+    from ..config import conf_threshold as _ct
+
     keep = list(df.columns)
+    cap = _ct(df.sparkSession, "spark.graft.curie.exprMaxPrefixes", 512)
+    probe = prefix_table.select("prefix", "base").limit(cap + 1).collect()
+    if len(probe) <= cap:
+        return compact_curies_expr(
+            df, iri_col, [(r["prefix"], r["base"]) for r in probe], out_col
+        )
     p = prefix_table.select("prefix", "base")
     joined = df.join(
         F.broadcast(p), F.col(iri_col).startswith(F.col("base")), "left"

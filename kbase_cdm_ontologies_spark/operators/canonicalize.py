@@ -167,8 +167,13 @@ def connected_components(
         pairs_local = _local_union_find(
             [(r["u"], r["v"]) for r in e.collect()]
         )
+        # Arrow batch upload: the plain-list path pickles row-by-row
+        # (~0.3 s per 50k rows inside the timed query)
+        import pandas as pd
+
         stars = e.sparkSession.createDataFrame(
-            pairs_local, schema=e.select("u", F.col("v").alias("canonical")).schema
+            pd.DataFrame(pairs_local, columns=["u", "canonical"]),
+            schema=e.select("u", F.col("v").alias("canonical")).schema,
         )
     elif not converged:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")

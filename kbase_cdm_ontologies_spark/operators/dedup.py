@@ -279,11 +279,24 @@ def jaccard_pairs_sets(
 
     toks: either the long (id, token) form (grouped to sets here) or a
     token_arrays (id, toks) frame, used directly — the zero-shuffle
-    path."""
+    path.
+
+    Attach-join strategy: when the per-doc set frame is provably small
+    (one count, conf spark.graft.jaccard.broadcastSetRows, default
+    200k — sized so token arrays stay inside the broadcast budget),
+    broadcast it on BOTH sides so the candidate pairs never shuffle;
+    a corpus-scale set frame falls back to shuffled joins under AQE."""
+    from ..config import conf_threshold as _conf_threshold
+
     if "toks" in toks.columns:
         sets = toks.select("id", F.col("toks").alias("tset"))
     else:
         sets = toks.groupBy("id").agg(F.collect_set("token").alias("tset"))
+    bcast_cap = _conf_threshold(
+        toks, "spark.graft.jaccard.broadcastSetRows", 200_000
+    )
+    if sets.count() <= bcast_cap:
+        sets = F.broadcast(sets)
     a = sets.select(F.col("id").alias("id_a"), F.col("tset").alias("ta"))
     b = sets.select(F.col("id").alias("id_b"), F.col("tset").alias("tb"))
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))

@@ -24,31 +24,47 @@ LANG_MARKERS = {
 
 
 def _token_count_in(col, words):
-    """Count whitespace tokens of lower(text) that are in `words`.
-    Token-based (not lookaround regex) so the semantics are mirrorable
-    in RE2-based engines (the DuckDB oracles)."""
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
-    wlist = list(words)
-    return F.size(F.filter(toks, lambda x: x.isin(*wlist)))
+    """Count whitespace tokens of lower(text) that are in `words`
+    (with multiplicity). One compiled-regex scan over the padded text:
+    a token equals w exactly when w is flanked by whitespace in
+    ' ' || lower(trim(text)) || ' ', so regexp_count with \\s
+    lookarounds counts precisely the token hits — no per-token
+    split + interpreted filter lambda. Words that contain whitespace
+    (or are empty) can never equal a token and are dropped up front.
+    (The DuckDB oracles keep the token-based formulation — the
+    lookaround ban applies to the ORACLE side; only the results must
+    match.)"""
+    import re as _re
+
+    wlist = [w for w in words if w and not _re.search(r"\s", w)]
+    if not wlist:
+        return F.lit(0)
+    alt = "|".join("\\Q" + w + "\\E" for w in wlist)
+    padded = F.concat(F.lit(" "), F.lower(F.trim(col)), F.lit(" "))
+    return F.regexp_count(padded, F.lit(f"(?<=\\s)(?:{alt})(?=\\s)"))
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_chars, n_ws_tokens, n_bpe_tokens, avg_token_len)."""
+    """(id, n_chars, n_ws_tokens, n_bpe_tokens, avg_token_len).
+
+    Expression choices: n_bpe counts matches without materializing the
+    match array (regexp_count vs size(regexp_extract_all)); the token
+    lengths sum is length(trim) minus the whitespace chars inside it
+    (one regexp_replace) instead of a per-token transform+aggregate
+    fold — integer-valued doubles below 2^53, so the division is
+    bit-equal to the old fold."""
     t = F.col(text_col)
-    ws_tokens = F.split(F.trim(t), r"\s+")
+    trimmed = F.trim(t)
+    ws_tokens = F.split(trimmed, r"\s+")
+    sum_tok_len = F.length(F.regexp_replace(trimmed, r"\s+", "")).cast("double")
     return df.select(
         F.col(id_col).alias("id"),
         F.length(t).cast("long").alias("n_chars"),
-        F.when(F.trim(t) == "", 0).otherwise(F.size(ws_tokens)).cast("long").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.when(trimmed == "", 0).otherwise(F.size(ws_tokens)).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long").alias("n_bpe_tokens"),
         F.round(
-            F.when(F.trim(t) == "", 0.0).otherwise(
-                F.aggregate(
-                    F.transform(ws_tokens, lambda x: F.length(x).cast("double")),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                / F.size(ws_tokens)
+            F.when(trimmed == "", 0.0).otherwise(
+                sum_tok_len / F.size(ws_tokens)
             ),
             4,
         ).alias("avg_token_len"),
@@ -61,8 +77,10 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     gate a web-scale training pipeline puts before extraction."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    n_upper = n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    # count matches directly (single-char classes: count == the length
+    # delta of the old regexp_replace-and-measure, minus the rewrite)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_upper = F.regexp_count(t, F.lit("[A-Z]"))
     ws_tokens = F.split(F.trim(t), r"\s+")
     n_tokens = F.when(F.trim(t) == "", 0).otherwise(F.size(ws_tokens))
     n_stop = _token_count_in(t, STOPWORDS_EN)
@@ -169,7 +187,9 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    # split on \s+ directly: same token list as collapse-then-split,
+    # without rewriting the whole text first
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     # window starts: 0, stride, 2*stride, ... while start < n
     starts = F.when(

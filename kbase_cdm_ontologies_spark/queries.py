@@ -469,19 +469,34 @@ def kg_mention_counts(spark, sf_dir):
 )
 def kg_cooccurrence_edges(spark, sf_dir):
     d = _ts(spark, sf_dir, "documents")
-    dt = (
-        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
-        .where(F.col("token").isin(*KG_VOCAB))
-        .distinct()
+    # per-doc distinct vocab hits as ONE array (array_intersect is
+    # set-valued), pairs expanded in-task — no explode+distinct
+    # shuffle, no doc_id self-join; the aggregate is the only exchange
+    vocab = F.array(*[F.lit(w) for w in KG_VOCAB])
+    hits = F.sort_array(
+        F.array_intersect(F.array_distinct(F.split("text", r"\s+")), vocab)
     )
-    a = dt.select("doc_id", F.col("token").alias("subject"))
-    b = dt.select("doc_id", F.col("token").alias("object"))
+    pairs = F.flatten(
+        F.transform(
+            hits,
+            lambda x, i: F.transform(
+                F.slice(hits, i + 2, F.size(hits)),
+                lambda y: F.struct(x.alias("s"), y.alias("o")),
+            ),
+        )
+    )
     return (
-        a.join(b, "doc_id")
-        .where(F.col("subject") < F.col("object"))
-        .groupBy("subject", "object")
+        d.select(F.explode(pairs).alias("_pr"))
+        .groupBy(
+            F.col("_pr.s").alias("subject"), F.col("_pr.o").alias("object")
+        )
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select("subject", F.lit("kg:cooccursWith").alias("predicate"), "object", "n_docs")
+        .select(
+            "subject",
+            F.lit("kg:cooccursWith").alias("predicate"),
+            "object",
+            "n_docs",
+        )
     )
 
 
@@ -664,9 +679,14 @@ def iri_normalize(spark, sf_dir):
     """,
 )
 def curie_compact(spark, sf_dir):
-    from .functions.normalize import compact_curies
+    # driver-literal registry -> compact_curies_expr: no createDataFrame
+    # + probe job per build (the registry is part of the query text, as
+    # in the oracle's VALUES list)
+    from .functions.normalize import compact_curies_expr
 
-    prefixes = spark.createDataFrame(
+    return compact_curies_expr(
+        _iri_df(spark, sf_dir),
+        "iri",
         [
             ("GO", "http://purl.obolibrary.org/obo/GO_"),
             ("CHEBI", "http://purl.obolibrary.org/obo/CHEBI#"),
@@ -674,9 +694,7 @@ def curie_compact(spark, sf_dir):
             ("obo", "http://purl.obolibrary.org/obo/"),
             ("ex", "https://example.org/thing/"),
         ],
-        ["prefix", "base"],
     )
-    return compact_curies(_iri_df(spark, sf_dir), "iri", prefixes)
 
 
 @q(

@@ -67,3 +67,34 @@ def test_aho_equals_regex(patterns, text_words):
         ):
             want.append((p, m.start()))
     assert got == sorted(want)
+
+
+@given(
+    st.lists(_words, min_size=1, max_size=10, unique=True),
+    st.lists(_words, min_size=0, max_size=40),
+)
+@settings(max_examples=150, deadline=None)
+def test_scanfind_equals_aho(patterns, text_words):
+    """ScanFind (small-dict C-speed fast path) must emit exactly the
+    AhoCorasick occurrence SET — overlapping and nested included."""
+    from kbase_cdm_ontologies_spark.functions.aho import ScanFind
+
+    text = " ".join(text_words)
+    lens = [len(p) for p in patterns]
+    ac = AhoCorasick(patterns)
+    sf = ScanFind(patterns)
+    assert sorted(ac.find(text, lens)) == sorted(sf.find(text, lens))
+
+
+def test_scanfind_overlapping_nested():
+    from kbase_cdm_ontologies_spark.functions.aho import ScanFind
+
+    patterns = ["aa", "aaa", "machine", "machine learning", "learning"]
+    lens = [len(p) for p in patterns]
+    text = "aaaa machine learning"
+    ac, sf = AhoCorasick(patterns), ScanFind(patterns)
+    got_ac, got_sf = sorted(ac.find(text, lens)), sorted(sf.find(text, lens))
+    assert got_ac == got_sf
+    assert (0, 0) in got_sf and (0, 1) in got_sf and (0, 2) in got_sf  # "aa" x3
+    assert (1, 0) in got_sf and (1, 1) in got_sf                      # "aaa" x2
+    assert (3, 5) in got_sf and (4, 13) in got_sf                     # nested
