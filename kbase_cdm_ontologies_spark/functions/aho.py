@@ -121,9 +121,9 @@ class ScanFind:
 
 
 # Below this many patterns, P C-speed scans beat one interpreted AC
-# walk by a wide margin (8 patterns: ~10x on 300-char docs). Above it,
-# AC's dictionary-size independence wins.
-SCAN_FIND_MAX_PATTERNS = 64
+# walk (measured on 3KB docs: 21x at P=8, 2.4x at P=64, parity near
+# P~200). Above it, AC's dictionary-size independence wins.
+SCAN_FIND_MAX_PATTERNS = 128
 
 
 def build_automaton(patterns: list[str]):

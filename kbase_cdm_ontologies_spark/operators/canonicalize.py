@@ -119,7 +119,10 @@ def connected_components(
         local_threshold = _conf_threshold(
             pairs, "spark.graft.connectedComponents.localThreshold", 500_000
         )
-    nodes = _statscut(
+    # no stats-cut: nodes feeds exactly ONE join at the end, so the
+    # BigInteger stats blow-up the cut guards against cannot occur, and
+    # dropping it saves one checkpoint job per call
+    nodes = (
         pairs.select(F.col(src).alias("u"))
         .unionByName(pairs.select(F.col(dst).alias("u")))
         .distinct()

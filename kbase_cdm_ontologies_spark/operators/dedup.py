@@ -422,22 +422,21 @@ def embedding_near_dup_bucketed(
             nrm = pdf["nrm"].to_numpy()
             ids = pdf["id"].to_numpy()
             d = V.shape[1]
+            # dim-major layout: the inner accumulation reads CONTIGUOUS
+            # suffix slices (SIMD) instead of fancy-index gathers;
+            # per a-row working set is O(n), so no pair-block chunking
+            VT = np.ascontiguousarray(V.T)
             out_a, out_b, out_c = [], [], []
-            # bound memory: blocks of a-rows of ~2M pair cells
-            blk = max(1, 2_000_000 // max(n - 1, 1))
-            for s in range(0, n - 1, blk):
-                e = min(s + blk, n - 1)
-                reps = n - 1 - np.arange(s, e)
-                ia = np.repeat(np.arange(s, e), reps)
-                ib = np.concatenate([np.arange(i + 1, n) for i in range(s, e)])
-                acc = np.zeros(len(ia))
+            for i in range(n - 1):
+                acc = np.zeros(n - 1 - i)
                 for k in range(d):  # exact JVM left fold, per dim
-                    acc += V[ia, k] * V[ib, k]
-                cos = acc / (nrm[ia] * nrm[ib])
+                    acc += VT[k, i] * VT[k, i + 1 :]
+                cos = acc / (nrm[i] * nrm[i + 1 :])
                 keep = cos >= margin
-                out_a.append(ids[ia[keep]])
-                out_b.append(ids[ib[keep]])
-                out_c.append(cos[keep])
+                if keep.any():
+                    out_a.append(np.full(int(keep.sum()), ids[i]))
+                    out_b.append(ids[i + 1 :][keep])
+                    out_c.append(cos[keep])
             if not out_a:
                 return empty
             return pd.DataFrame(
@@ -468,43 +467,42 @@ def embedding_near_dup_bucketed(
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over the token set, built from the first 16 hex
     chars of md5(token). Bitwise majority vote expressed with built-in
-    functions: explode bit positions 0..63 per token (conv hex->long),
-    sum +-1 per position, reassemble. All JVM-side.
+    functions, ONE aggregation: per distinct (id, token) row, 64
+    conditional-sum aggregates (one per bit, statically-shifted — all
+    map-side combined), then the word reassembled from the 64 vote
+    columns in a projection. The former shape exploded 64 bit rows per
+    token (a 64x row blow-up through two shuffles); this shape shuffles
+    64 longs per document. Bit values are identical: votes are
+    order-independent integer sums, and the reassembly adds the same
+    distinct powers of two (bit 63 as min-long, matching
+    shiftleft(1,63) two's-complement).
 
     Returns (id, simhash long)."""
-    toks = tokens(df, id_col, text_col)
+    # explode of the per-doc distinct token ARRAY: distinct (id, token)
+    # rows without the long-form explode+distinct shuffle
+    toks = token_arrays(df, id_col, text_col).select(
+        "id", F.explode("toks").alias("token")
+    )
     hashed = toks.select(
         "id",
         F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long").alias("h60"),
         F.conv(F.substring(F.md5("token"), 16, 15), 16, 10).cast("long").alias("h60b"),
     )
-    # 64 bit positions: use two 60-bit halves to avoid sign issues; take
-    # bits 0..31 from h60 and 32..63 from h60b.
-    bits = F.sequence(F.lit(0), F.lit(63))
-    exploded = hashed.select(
-        "id",
-        F.explode(bits).alias("bit"),
-        "h60",
-        "h60b",
-    ).select(
-        "id",
-        "bit",
-        # shift amount is a column -> must go through the SQL expression
-        F.expr(
-            "CAST(IF(bit < 32, shiftright(h60, CAST(bit AS INT)), "
-            "shiftright(h60b, CAST(bit - 32 AS INT))) % 2 AS INT)"
-        ).alias("b"),
-    )
-    votes = exploded.groupBy("id", "bit").agg(
-        F.sum(F.when(F.col("b") == 1, 1).otherwise(-1)).alias("v")
-    )
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.expr(
-                "IF(v > 0, shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)), CAST(0 AS BIGINT))"
-            )
-        ).alias("simhash")
-    )
+    aggs = []
+    for b in range(64):
+        src, sh = ("h60", b) if b < 32 else ("h60b", b - 32)
+        bit = F.expr(f"CAST(shiftright({src}, {sh}) % 2 AS INT)")
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_v{b}")
+        )
+    votes = hashed.groupBy("id").agg(*aggs)
+    total = F.lit(0).cast("long")
+    for b in range(64):
+        power = -(1 << 63) if b == 63 else (1 << b)
+        total = total + F.when(
+            F.col(f"_v{b}") > 0, F.lit(power).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", total.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -522,13 +520,32 @@ def simhash_near_pairs(
         "ckey",
         F.expr("shiftright(simhash, CAST(chunk * 16 AS INT)) & 65535"),
     )
+    # group-local pair expansion (same shape as _group_pairs, with the
+    # simhash carried in the struct payload) instead of a self-join
+    # whose both sides recompute the whole simhash aggregation
     chunks = _fanout_repartition(chunks, "chunk", "ckey")
-    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey")
-    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey")
+    grouped = chunks.groupBy("chunk", "ckey").agg(
+        F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("_m")
+    )
+    m = F.col("_m")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.size(m)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("sh_a"),
+                    y["simhash"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["chunk", "ckey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        grouped.where(F.size("_m") >= 2)
+        .select(F.explode(pair_structs).alias("_pr"))
+        .select("_pr.id_a", "_pr.id_b", "_pr.sh_a", "_pr.sh_b")
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -85,8 +85,12 @@ def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     max_rgs = _ct(spark, "spark.graft.scanSpread.maxRowGroups", max(par // 4, 1))
     max_bytes = _ct(spark, "spark.graft.scanSpread.maxBytes", 512 * 1024 * 1024)
+    # below this, the serial scan is already sub-100ms and the exchange
+    # is pure overhead (measured: kg_mention_counts 0.42->0.79 s at
+    # sf0.1 with an unconditional spread)
+    min_bytes = _ct(spark, "spark.graft.scanSpread.minBytes", 4 * 1024 * 1024)
     rgs, size = _row_groups(path)
-    if 0 < rgs <= max_rgs and 0 < size <= max_bytes:
+    if 0 < rgs <= max_rgs and min_bytes <= size <= max_bytes:
         return df.repartition(par)
     return df
 
@@ -996,12 +1000,15 @@ _DUPED = """
 
 
 def _duped_docs(spark, sf_dir):
+    # single scan: the union-with-filtered-self form read (and
+    # decompressed) the documents file twice — the injected duplicate
+    # ids are a per-row explode instead
     d = _ts(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = (
-        d.where(F.col("doc_id") % 10 == 0)
-        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
-    )
-    return d.unionByName(extra)
+    ids = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.array(F.col("doc_id"), F.col("doc_id") + 10000),
+    ).otherwise(F.array(F.col("doc_id")))
+    return d.select(F.explode(ids).alias("doc_id"), "text")
 
 
 @q(
@@ -1245,7 +1252,9 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def ann_cosine_scores(spark, sf_dir):
-    emb = _ts(spark, sf_dir, "embeddings")
+    # plain scan: one cheap cosine per row — the spread exchange costs
+    # more than the parallelism buys (measured 0.53 vs 0.62-0.72)
+    emb = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
