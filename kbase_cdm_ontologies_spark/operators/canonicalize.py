@@ -150,25 +150,40 @@ def connected_components(
 
     converged = False
     local = False
-    sig_prev = _sig(e)
-    for _ in range(max_rounds):
-        if sig_prev[0] <= local_threshold:
+    local_rows = None
+    # threshold probe doubles as the local-path data fetch: ONE
+    # limit-capped collect on the materialized edge set replaces the
+    # count job + a second full collect when the graph is already
+    # under the threshold (the common dimension-scale call). On bigger
+    # graphs the capped collect is one cheap extra job and the loop
+    # proceeds exactly as before.
+    if local_threshold > 0:
+        probe = e.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
             local = True
-            break
-        e2 = _statscut(_round(e))
-        sig_new = _sig(e2)
-        # (count, hash) equality is the cheap per-round test; only a
-        # matching signature pays for the definitive set-equality check
-        # (one anti-join suffices at equal counts), i.e. only the
-        # terminal round costs extra jobs
-        if sig_new == sig_prev and e2.exceptAll(e).limit(1).count() == 0:
-            e = e2
-            converged = True
-            break
-        e, sig_prev = e2, sig_new
+            local_rows = probe
+    if not local:
+        sig_prev = _sig(e)
+        for _ in range(max_rounds):
+            if sig_prev[0] <= local_threshold:
+                local = True
+                break
+            e2 = _statscut(_round(e))
+            sig_new = _sig(e2)
+            # (count, hash) equality is the cheap per-round test; only
+            # a matching signature pays for the definitive set-equality
+            # check (one anti-join suffices at equal counts), i.e. only
+            # the terminal round costs extra jobs
+            if sig_new == sig_prev and e2.exceptAll(e).limit(1).count() == 0:
+                e = e2
+                converged = True
+                break
+            e, sig_prev = e2, sig_new
     if local:
+        if local_rows is None:
+            local_rows = e.collect()
         pairs_local = _local_union_find(
-            [(r["u"], r["v"]) for r in e.collect()]
+            [(r["u"], r["v"]) for r in local_rows]
         )
         # Arrow batch upload: the plain-list path pickles row-by-row
         # (~0.3 s per 50k rows inside the timed query)

@@ -228,6 +228,101 @@ def banded_lsh_pairs(
     return _group_pairs(band_key, "band", "bucket", max_bucket=max_bucket)
 
 
+def banded_lsh_jaccard(
+    toks_arr: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fused banded-LSH candidates + exact set-Jaccard verify, bucket
+    locally: the (id, token-set) rows travel ONCE into their band
+    buckets and every same-bucket pair is verified in a vectorized
+    pandas stage — the candidate pairs themselves are never shuffled
+    or joined (the staged form shuffles the pair set three times:
+    distinct + two attach-joins). Same guards as banded_lsh_pairs
+    (viral buckets dropped at max_bucket; fan-out repartition keeps
+    the quadratic expansion spread under AQE). Jaccard values are
+    bit-identical to the JVM form (integer set sizes, one IEEE double
+    division); a pair sharing several buckets is verified once per
+    bucket with an identical result and deduped at the end. The
+    size-ratio prune (jaccard ≤ min/max) uses a conservative epsilon
+    so float rounding can never drop a qualifying pair.
+
+    Returns distinct (id_a, id_b, jaccard RAW double) with
+    jaccard >= threshold; callers round for presentation."""
+    import pandas as pd
+
+    k = bands * rows_per_band
+
+    # carry toks through the signature projection (no join)
+    def _seed_hash(s: int):
+        return lambda t: F.md5(F.concat(F.lit(f"{s}:"), t))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("toks"), _seed_hash(s))).alias(f"_s{s}")
+        for s in range(k)
+    ]
+    wide = toks_arr.select("id", "toks", *sig_cols)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.array(
+                        *[F.col(f"_s{b * rows_per_band + i}") for i in range(rows_per_band)]
+                    )
+                ),
+            )
+        ).alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    stack = ", ".join(f"{b}, _b{b}" for b in range(bands))
+    keyed = (
+        wide.select("id", "toks", *band_cols)
+        .select("id", "toks", F.expr(f"stack({bands}, {stack}) AS (band, bucket)"))
+        .select("id", "toks", F.col("band").cast("int").alias("band"), "bucket")
+    )
+    keyed = _fanout_repartition(keyed, "band", "bucket")
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in toks_arr.schema.fields
+    )["id"]
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        if n < 2 or n > max_bucket:
+            return empty
+        pdf = pdf.sort_values("id")  # id_a < id_b via order
+        ids = pdf["id"].to_numpy()
+        sets = [frozenset(t) for t in pdf["toks"]]
+        sizes = [len(s) for s in sets]
+        out_a, out_b, out_j = [], [], []
+        for i in range(n - 1):
+            si, ni = sets[i], sizes[i]
+            for j in range(i + 1, n):
+                nj = sizes[j]
+                lo, hi = (ni, nj) if ni <= nj else (nj, ni)
+                if lo < threshold * hi - 1e-9:  # jaccard <= lo/hi < thr
+                    continue
+                inter = len(si & sets[j])
+                union = ni + nj - inter
+                jac = inter / union  # same IEEE division as the JVM
+                if jac >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(jac)
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    return (
+        keyed.groupBy("band", "bucket")
+        .applyInPandas(_verify, f"id_a {id_type}, id_b {id_type}, jaccard double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1111,15 +1111,14 @@ def dedup_lsh_banded(spark, sf_dir):
     """,
 )
 def dedup_jaccard(spark, sf_dir):
+    # fused candidates+verify: token sets travel once into their band
+    # buckets; the pair set is never shuffled (no persist needed — the
+    # whole query is one pass)
     docs = _duped_docs(spark, sf_dir)
-    # shared tokenize stage: ONE per-doc distinct-token-array frame
-    # (persisted, no shuffle to build) feeds both the LSH candidate
-    # generator and the exact set-based verifier
-    toks = dedup.token_arrays(docs, "doc_id", "text").persist()
-    cand = dedup.banded_lsh_pairs(
-        docs, "doc_id", "text", 4, 2, max_bucket=1000, tokens_arr_df=toks
+    toks = dedup.token_arrays(docs, "doc_id", "text")
+    out = dedup.banded_lsh_jaccard(
+        toks, bands=4, rows_per_band=2, max_bucket=1000, threshold=0.5
     )
-    out = dedup.jaccard_pairs_sets(toks, cand, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

@@ -260,3 +260,36 @@ def test_embedding_bucketed_gram_equals_join_backend(spark):
     }
     assert gram == join
     assert len(gram) > 0
+
+
+def test_banded_lsh_jaccard_equals_staged(spark):
+    """Fused bucket-local verify == staged candidates + set-Jaccard,
+    pair set AND raw jaccard values identical."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(120):
+        base = rng.sample(vocab, rng.randint(5, 20))
+        rows.append((i, " ".join(base)))
+        if i % 3 == 0:  # near-dup with a small edit
+            mut = base[:-1] + [rng.choice(vocab)]
+            rows.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = dedup.token_arrays(df, "doc_id", "text")
+    fused = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.banded_lsh_jaccard(
+            toks, 4, 2, max_bucket=50, threshold=0.4
+        ).collect()
+    }
+    cand = dedup.banded_lsh_pairs(
+        df, "doc_id", "text", 4, 2, max_bucket=50, tokens_arr_df=toks
+    )
+    staged = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs_sets(toks, cand, threshold=0.4).collect()
+    }
+    assert fused == staged
+    assert len(fused) > 0
