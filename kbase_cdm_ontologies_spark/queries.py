@@ -477,9 +477,9 @@ def kg_cooccurrence_edges(spark, sf_dir):
     # set-valued), pairs expanded in-task — no explode+distinct
     # shuffle, no doc_id self-join; the aggregate is the only exchange
     vocab = F.array(*[F.lit(w) for w in KG_VOCAB])
-    hits = F.sort_array(
-        F.array_intersect(F.array_distinct(F.split("text", r"\s+")), vocab)
-    )
+    # array_intersect is already set-valued (distinct output), so no
+    # array_distinct over the full token array first
+    hits = F.sort_array(F.array_intersect(F.split("text", r"\s+"), vocab))
     pairs = F.flatten(
         F.transform(
             hits,
