@@ -58,11 +58,46 @@ def token_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def merge_token_arrays(toks_arr: DataFrame) -> DataFrame:
+    """One (id, toks) row per id: toks = the distinct union of the
+    duplicate rows' token sets — exactly the long form's
+    DISTINCT (id, token) semantics. The per-row array path assumes
+    unique ids; an input whose id space can collide (the bench's
+    injected-twin frame once real doc_ids cross the +10000 offset —
+    true from ~sf0.2 up) MUST merge before any per-id consumer, or the
+    colliding doc gets two signature/verification rows where the
+    oracle's DISTINCT-merged pipeline has one. A no-op on unique-id
+    input (flatten of a one-element list), but it does cost one
+    exchange of the token arrays — so signature-only consumers prefer
+    the cheaper per-id min-merge inside minhash_signatures_wide.
+
+    The explicit repartition(id) is load-bearing: the groupBy reuses it
+    (hashpartitioning(id) satisfies the aggregate's distribution, so no
+    extra exchange), and a user-specified partition count is exempt
+    from AQE coalescing — consumers run EXPENSIVE per-row work (the
+    k·|toks| md5 signature lambdas, the simhash explode) on the merge
+    OUTPUT, and AQE sizing the exchange by its small input bytes would
+    serialize that work onto one task."""
+    n = toks_arr.sparkSession.sparkContext.defaultParallelism
+    return (
+        toks_arr.repartition(n, "id")
+        .groupBy("id")
+        .agg(F.array_distinct(F.flatten(F.collect_list("toks"))).alias("toks"))
+    )
+
+
 def minhash_signatures_wide(toks_arr: DataFrame, k: int = 8) -> DataFrame:
-    """(id, _s0.._s{k-1}) from a (id, toks) array frame — one per-row
-    projection, NO shuffle: sig_i = array_min(md5(i || ':' || tok))
-    over the doc's token set, identical to the groupBy-min over
-    exploded tokens (min over strings = lexicographic array_min)."""
+    """(id, _s0.._s{k-1}) from a (id, toks) array frame: per-row
+    sig_i = array_min(md5(i || ':' || tok)) over the row's token set
+    (identical to the groupBy-min over exploded tokens — min over
+    strings = lexicographic array_min), then a per-id min-merge so
+    duplicate-id rows collapse to the signature of their UNION set
+    (min-hash distributes over union: sig(A ∪ B) = min(sig(A),
+    sig(B))). The merge shuffles only k 32-char digests per row,
+    map-side combined — on unique-id input it is a cheap identity
+    exchange, and it is what keeps the array path bit-identical to the
+    oracle's DISTINCT (doc_id, token) pipeline when the injected-twin
+    id space collides with real ids (real from ~sf0.2 up)."""
     def _seed_hash(s: int):
         # closure factory: a 2-parameter lambda would be read by
         # PySpark as the (element, index) form of transform
@@ -72,41 +107,79 @@ def minhash_signatures_wide(toks_arr: DataFrame, k: int = 8) -> DataFrame:
         F.array_min(F.transform(F.col("toks"), _seed_hash(s))).alias(f"_s{s}")
         for s in range(k)
     ]
-    return toks_arr.select("id", *cols)
+    per_row = toks_arr.select("id", *cols)
+    return per_row.groupBy("id").agg(
+        *[F.min(f"_s{s}").alias(f"_s{s}") for s in range(k)]
+    )
+
+
+_PAIR_BLOCK = 1024  # ids per expansion block: bounds per-eval memory
+# and splits one viral key group across tasks
 
 
 def _group_pairs(keyed: DataFrame, *group_cols: str, max_bucket: int | None = None) -> DataFrame:
     """Distinct (id_a, id_b), id_a < id_b, for ids sharing a key group:
     ONE shuffle (groupBy collect_list) + in-task pair expansion +
     distinct, replacing the self-join formulation whose two join inputs
-    each recompute the whole upstream. The explicit fan-out
-    repartition before the groupBy keeps AQE from coalescing the pair
-    EXPANSION onto few tasks (AQE sizes partitions by input bytes and
-    cannot see the C(n,2) output — measured 30+ min one-task straggler
-    at sf1.0 without it); the groupBy reuses that exchange, so the
-    repartition costs nothing extra.
+    each recompute the whole upstream.
+
+    Expansion shape (the scale-critical part):
+
+    1. Identical SORTED id sets collapse before expansion
+       (``.distinct()`` on the array): near-dup clusters agree on many
+       seeds/bands, so the same id set recurs once per agreeing key —
+       the former shape expanded (and then pair-distinct'ed) each
+       recurrence. The pair set of a group depends only on its id set,
+       so deduping sets first is exact.
+    2. Each set is cut into _PAIR_BLOCK-sized blocks of left-elements
+       (explode of a stepped sequence) and the BLOCK rows are
+       round-robin repartitioned: a user-specified repartition is
+       AQE-coalescing-exempt (AQE sizes partitions by input bytes and
+       cannot see the C(n,2) fan-out — a 2.2M-row frame once coalesced
+       onto ONE task emitting ~10^8 pairs, a 30+ min straggler at
+       sf1.0), and blocking also splits one viral group across tasks
+       instead of pinning its whole C(n,2) on one task.
+    3. Per block row, pairs stream through posexplode (left ids) +
+       explode of the remaining suffix — peak per-eval memory is
+       O(|set|), where the former single-eval
+       ``flatten(transform(transform(...)))`` materialized ALL C(n,2)
+       pair structs of a group at once (an uncapped hot group of ~46k
+       ids = ~10^9 structs in one allocation: OOM on any heap).
 
     max_bucket: drop key groups larger than this (viral-bucket guard)
     — applied on the grouped sizes, identical to the former
     count-filter-join."""
-    keyed = _fanout_repartition(keyed, *group_cols)
     grouped = keyed.groupBy(*group_cols).agg(F.collect_list("id").alias("_ids"))
     if max_bucket is not None:
         grouped = grouped.where(F.size("_ids") <= max_bucket)
-    ids_s = F.sort_array(F.col("_ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids_s,
-            lambda x, i: F.transform(
-                F.slice(ids_s, i + 2, F.size(ids_s)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    sets = (
+        grouped.where(F.size("_ids") >= 2)
+        .select(F.sort_array("_ids").alias("_ids"))
+        .distinct()
+    )
+    n_out = keyed.sparkSession.sparkContext.defaultParallelism * 4
+    blocks = sets.select(
+        "_ids",
+        F.explode(
+            F.sequence(F.lit(0), F.size("_ids") - 2, F.lit(_PAIR_BLOCK))
+        ).alias("_b0"),
+    ).repartition(n_out)
+    lefts = blocks.select(
+        "_ids",
+        "_b0",
+        F.posexplode(F.slice("_ids", F.col("_b0") + 1, _PAIR_BLOCK)).alias(
+            "_p", "id_a"
+        ),
     )
     return (
-        grouped.where(F.size("_ids") >= 2)
-        .select(F.explode(pair_structs).alias("_pr"))
-        .select(F.col("_pr.a").alias("id_a"), F.col("_pr.b").alias("id_b"))
+        lefts.select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    "_ids", F.col("_b0") + F.col("_p") + 2, F.size("_ids")
+                )
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -255,6 +328,13 @@ def banded_lsh_jaccard(
 
     k = bands * rows_per_band
 
+    # duplicate-id rows must collapse to their union token set BEFORE
+    # banding (the oracle tokenizes through DISTINCT (doc_id, token)):
+    # the verify stage needs the merged SET itself, not just merged
+    # signatures, and the two rows of a colliding id may band into
+    # different buckets — so the sig-level min-merge is not enough here
+    toks_arr = merge_token_arrays(toks_arr)
+
     # carry toks through the signature projection (no join)
     def _seed_hash(s: int):
         return lambda t: F.md5(F.concat(F.lit(f"{s}:"), t))
@@ -384,7 +464,11 @@ def jaccard_pairs_sets(
     from ..config import conf_threshold as _conf_threshold
 
     if "toks" in toks.columns:
-        sets = toks.select("id", F.col("toks").alias("tset"))
+        # merge duplicate-id rows to their union set — the long form's
+        # groupBy collect_set does this implicitly
+        sets = merge_token_arrays(toks).select(
+            "id", F.col("toks").alias("tset")
+        )
     else:
         sets = toks.groupBy("id").agg(F.collect_set("token").alias("tset"))
     bcast_cap = _conf_threshold(
@@ -574,8 +658,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Returns (id, simhash long)."""
     # explode of the per-doc distinct token ARRAY: distinct (id, token)
-    # rows without the long-form explode+distinct shuffle
-    toks = token_arrays(df, id_col, text_col).select(
+    # rows without the long-form explode+distinct shuffle. Duplicate-id
+    # rows merge to their union set first — votes are multiplicity-
+    # sensitive, so a token present in both rows of a colliding id must
+    # vote ONCE (the oracle's DISTINCT (doc_id, token) semantics)
+    toks = merge_token_arrays(token_arrays(df, id_col, text_col)).select(
         "id", F.explode("toks").alias("token")
     )
     hashed = toks.select(

@@ -161,6 +161,10 @@ def main() -> int:
     generate(spark)
 
     con = duckdb.connect()
+    # the heaviest oracles (dedup_minhash_pairs) emit ~10^9 rows at
+    # sf1: let DuckDB spill instead of dying in-memory
+    con.sql("SET temp_directory='/tmp/duck_sf1_tmp'")
+    con.sql("SET memory_limit='48GB'")
     for t in TABLES:
         # Spark writes each table as a DIRECTORY of part files
         con.sql(
@@ -186,13 +190,27 @@ def main() -> int:
         got_n, gcols = None, None
         sdf, gcols = _normalize_for_hash(qs[name](spark, SF1))
         got_n, got_h = _sig(sdf)
+        # hand the DuckDB result to Spark through parquet, not
+        # arrow->pandas: the heaviest results (~10^9 pairs) would need
+        # ~2x result size resident in the python process AND again in
+        # the JVM via createDataFrame; COPY TO streams, and the
+        # distributed normalize+hash never collects it
         t0 = time.time()
-        rel = con.sql(oracles[name])
-        pdf = rel.arrow().to_pandas()
+        duck_out = os.path.join(SF1, f"_oracle_{name}.parquet")
+        con.sql(
+            f"COPY ({oracles[name]}) TO '{duck_out}' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 1048576)"
+        )
         entry["duck_sec"] = round(time.time() - t0, 3)
-        wcols = sorted(pdf.columns)
-        ddf, _ = _normalize_for_hash(spark.createDataFrame(pdf))
+        ddf_raw = spark.read.parquet(duck_out)
+        wcols = sorted(ddf_raw.columns)
+        ddf, _ = _normalize_for_hash(ddf_raw)
         want_n, want_h = _sig(ddf)
+        import shutil as _sh
+
+        _sh.rmtree(duck_out, ignore_errors=True)
+        if os.path.isfile(duck_out):
+            os.remove(duck_out)
         entry.update(
             rows=got_n,
             rows_match=bool(got_n == want_n),

@@ -293,3 +293,112 @@ def test_banded_lsh_jaccard_equals_staged(spark):
     }
     assert fused == staged
     assert len(fused) > 0
+
+
+# --- duplicate-id inputs (the injected-twin id space collides with
+# real doc ids once the corpus crosses the +10000 offset, ~sf0.2 up):
+# every per-id consumer must merge to the union token set, exactly the
+# oracle pipeline's DISTINCT (doc_id, token) semantics ---
+
+DUP_DOCS = [
+    (1, "a b c"),
+    (1, "c d e"),          # same id, different text: union = {a..e}
+    (2, "a b c c d e"),    # equals doc 1's MERGED set
+    (3, "x y z"),
+    (3, "x y z"),          # same id, identical text
+    (4, "q r"),
+]
+
+
+def _dup_df(spark):
+    return spark.createDataFrame(DUP_DOCS, ["doc_id", "text"])
+
+
+def _merged_sets():
+    merged = {}
+    for i, t in DUP_DOCS:
+        merged.setdefault(i, set()).update(t.split())
+    return merged
+
+
+def test_minhash_signatures_merge_duplicate_ids(spark):
+    sigs = dedup.minhash_signatures(_dup_df(spark), "doc_id", "text", k=8)
+    got = {}
+    for r in sigs.collect():
+        got.setdefault(r["id"], {})[r["seed"]] = r["sig"]
+    for doc_id, toks in _merged_sets().items():
+        want = _py_minhash(" ".join(toks))
+        assert [got[doc_id][s] for s in range(8)] == want, doc_id
+    # exactly one signature row per (id, seed) — no duplicate-id leak
+    assert sigs.count() == len(_merged_sets()) * 8
+
+
+def test_simhash_merges_duplicate_ids(spark):
+    got = {
+        r["id"]: r["simhash"]
+        for r in dedup.simhash64(_dup_df(spark), "doc_id", "text").collect()
+    }
+    for doc_id, toks in _merged_sets().items():
+        assert got[doc_id] == _py_simhash(" ".join(toks)), doc_id
+
+
+def _py_banded_jaccard(merged, bands=4, rows_per_band=2, cap=1000, thr=0.5):
+    """The oracle SQL pipeline over merged (id -> token set)."""
+    k = bands * rows_per_band
+    sig = {
+        i: [
+            min(hashlib.md5(f"{s}:{t}".encode()).hexdigest() for t in toks)
+            for s in range(k)
+        ]
+        for i, toks in merged.items()
+        if toks
+    }
+    buckets = {}
+    for i, sg in sig.items():
+        for b in range(bands):
+            key = hashlib.md5(
+                "|".join(sorted(sg[b * rows_per_band: (b + 1) * rows_per_band])).encode()
+            ).hexdigest()
+            buckets.setdefault((b, key), []).append(i)
+    out = {}
+    for ids in buckets.values():
+        if len(ids) > cap:
+            continue
+        ids = sorted(ids)
+        for x in range(len(ids) - 1):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(merged[a] & merged[b])
+                union = len(merged[a] | merged[b])
+                j = inter / union
+                if j >= thr:
+                    out[(a, b)] = j
+    return out
+
+
+def test_banded_lsh_jaccard_duplicate_ids_match_oracle(spark):
+    """Fused verify on a duplicate-id frame == the oracle pipeline over
+    per-id MERGED sets. Docs 1 and 2 share a merged set (jaccard 1.0)
+    even though no single ROW of doc 1 equals doc 2."""
+    toks = dedup.token_arrays(_dup_df(spark), "doc_id", "text")
+    fused = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.banded_lsh_jaccard(
+            toks, 4, 2, max_bucket=1000, threshold=0.5
+        ).collect()
+    }
+    want = _py_banded_jaccard(_merged_sets())
+    assert fused == want
+    assert fused[(1, 2)] == 1.0
+
+
+def test_banded_lsh_pairs_duplicate_ids_match_oracle(spark):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.banded_lsh_pairs(
+            _dup_df(spark), "doc_id", "text", 4, 2, max_bucket=1000
+        ).collect()
+    }
+    want = set(_py_banded_jaccard(_merged_sets(), thr=0.0))
+    assert got == want
+    assert (1, 2) in got
