@@ -702,32 +702,47 @@ def simhash_near_pairs(
         "ckey",
         F.expr("shiftright(simhash, CAST(chunk * 16 AS INT)) & 65535"),
     )
-    # group-local pair expansion (same shape as _group_pairs, with the
-    # simhash carried in the struct payload) instead of a self-join
-    # whose both sides recompute the whole simhash aggregation
-    chunks = _fanout_repartition(chunks, "chunk", "ckey")
+    # group-local pair expansion (same block-streaming shape as
+    # _group_pairs, with the simhash carried in the struct payload)
+    # instead of a self-join whose both sides recompute the whole
+    # simhash aggregation. SimHash CONCENTRATES near-dup corpora into
+    # shared chunk buckets by design, so the same hazards apply:
+    # identical member sets recur across the 4 chunks (dedup before
+    # expansion), and one viral bucket must neither materialize its
+    # whole C(n,2) in a single eval nor pin it on one task.
     grouped = chunks.groupBy("chunk", "ckey").agg(
         F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("_m")
     )
-    m = F.col("_m")
-    pair_structs = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + 2, F.size(m)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["simhash"].alias("sh_a"),
-                    y["simhash"].alias("sh_b"),
-                ),
-            ),
-        )
+    sets = (
+        grouped.where(F.size("_m") >= 2).select("_m").distinct()
+    )
+    n_out = df.sparkSession.sparkContext.defaultParallelism * 4
+    blocks = sets.select(
+        "_m",
+        F.explode(
+            F.sequence(F.lit(0), F.size("_m") - 2, F.lit(_PAIR_BLOCK))
+        ).alias("_b0"),
+    ).repartition(n_out)
+    lefts = blocks.select(
+        "_m",
+        "_b0",
+        F.posexplode(F.slice("_m", F.col("_b0") + 1, _PAIR_BLOCK)).alias(
+            "_p", "_a"
+        ),
     )
     cand = (
-        grouped.where(F.size("_m") >= 2)
-        .select(F.explode(pair_structs).alias("_pr"))
-        .select("_pr.id_a", "_pr.id_b", "_pr.sh_a", "_pr.sh_b")
+        lefts.select(
+            "_a",
+            F.explode(
+                F.slice("_m", F.col("_b0") + F.col("_p") + 2, F.size("_m"))
+            ).alias("_b"),
+        )
+        .select(
+            F.col("_a.id").alias("id_a"),
+            F.col("_b.id").alias("id_b"),
+            F.col("_a.simhash").alias("sh_a"),
+            F.col("_b.simhash").alias("sh_b"),
+        )
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
